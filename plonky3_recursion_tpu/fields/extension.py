@@ -1,0 +1,168 @@
+"""Binomial extension fields F_p[x]/(x^D - W) over Monty31 base fields.
+
+TPU-native equivalent of the reference's `BinomialExtensionField<F, D>`
+(SURVEY.md §2.6, `p3-field`).  Extension elements are arrays with a trailing
+dimension of size D holding base-coefficient canonical u32 values — the same
+"D-scaled" layout the reference uses for witness bus tuples
+(`circuit/src/types.rs:400`, WitnessId scaled by D).
+
+All ops are elementwise/unrolled over the trailing dim so XLA fuses them.
+Multiplication: one operand is lifted to Monty form once, then D*D
+monty_muls + W-reduction; W-scaled terms fold the constant W into the
+reduction via a Monty-form W constant.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+
+from .monty31 import Monty31, U32
+
+
+def _irreducibility_check(p: int, w: int, d: int) -> bool:
+    """Lidl–Niederreiter 3.75 for x^d - w, d a power of two, p = 1 mod 4."""
+    # order of w must have maximal 2-adicity: w must be a non-square with
+    # v2(ord(w)) == v2(p-1); sufficient: w^((p-1)/2) == -1.
+    if d == 1:
+        return True
+    return pow(w, (p - 1) // 2, p) == p - 1
+
+
+@dataclasses.dataclass(frozen=True)
+class BinomialExtension:
+    """Degree-D binomial extension of a Monty31 field, x^D = W."""
+
+    base: Monty31
+    D: int
+
+    def __post_init__(self):
+        assert _irreducibility_check(self.base.P, self.W, self.D), (
+            f"x^{self.D} - {self.W} reducible over {self.base.name}"
+        )
+
+    @property
+    def W(self) -> int:
+        return self.base.ext_w
+
+    @functools.cached_property
+    def w_monty(self) -> np.uint32:
+        return self.base.monty_constant(self.W)
+
+    @functools.cached_property
+    def frob_consts(self) -> np.ndarray:
+        """c^i for c = W^((p-1)/D): Frobenius x -> x * c (Monty form)."""
+        p = self.base.P
+        c = pow(self.W, (p - 1) // self.D, p)
+        return self.base.monty_array([pow(c, i, p) for i in range(self.D)])
+
+    # ----- construction -----
+
+    def zeros(self, shape, xp):
+        return xp.zeros(tuple(shape) + (self.D,), dtype=U32)
+
+    def from_base(self, a, xp):
+        """Embed base elements (shape S) as ext elements (shape S + (D,))."""
+        out = xp.zeros(a.shape + (self.D,), dtype=U32)
+        if xp is np:
+            out[..., 0] = a
+            return out
+        return out.at[..., 0].set(a)
+
+    def scalar(self, coeffs, xp):
+        return xp.asarray(np.asarray(coeffs, dtype=np.uint64) % self.base.P).astype(U32)
+
+    # ----- arithmetic (trailing dim D) -----
+
+    def add(self, a, b, xp):
+        return self.base.add(a, b, xp)
+
+    def sub(self, a, b, xp):
+        return self.base.sub(a, b, xp)
+
+    def neg(self, a, xp):
+        return self.base.neg(a, xp)
+
+    def _mul_monty_rhs(self, a, b_m, xp):
+        """a (canonical) * b_m (coeffs in Monty form) -> canonical.
+
+        Schoolbook D*D products with x^D = W reduction; cost D^2 + D
+        monty_muls. Unrolled (D is static) so XLA sees a flat fused graph.
+        """
+        F = self.base
+        D = self.D
+        cols_lo = []  # c_k (k < D) before W-fold
+        cols_hi = []  # c_{k+D} overflow terms
+        for k in range(2 * D - 1):
+            terms = []
+            for i in range(max(0, k - D + 1), min(D, k + 1)):
+                j = k - i
+                terms.append(F.monty_mul(a[..., i], b_m[..., j], xp))
+            acc = terms[0]
+            for t in terms[1:]:
+                acc = F.add(acc, t, xp)
+            if k < D:
+                cols_lo.append(acc)
+            else:
+                cols_hi.append(acc)
+        out = []
+        for k in range(D):
+            v = cols_lo[k]
+            if k < len(cols_hi):
+                v = F.add(v, F.monty_mul(cols_hi[k], self.w_monty, xp), xp)
+            out.append(v)
+        return xp.stack(out, axis=-1)
+
+    def mul(self, a, b, xp):
+        b_m = self.base.to_monty(b, xp)
+        return self._mul_monty_rhs(a, b_m, xp)
+
+    def mul_base(self, a, s, xp):
+        """Ext a times base-field s (canonical), broadcast over coeffs."""
+        s_m = self.base.to_monty(s, xp)
+        return self.base.monty_mul(a, s_m[..., None], xp)
+
+    def square(self, a, xp):
+        return self.mul(a, a, xp)
+
+    def pow_static(self, a, e: int, xp):
+        if e == 0:
+            return self.from_base(xp.ones(a.shape[:-1], dtype=U32), xp)
+        acc = None
+        base = a
+        while e:
+            if e & 1:
+                acc = base if acc is None else self.mul(acc, base, xp)
+            e >>= 1
+            if e:
+                base = self.mul(base, base, xp)
+        return acc
+
+    def frobenius(self, a, k: int, xp):
+        """a^(p^k): coeff_i *= (W^((p-1)/D))^(i*k)."""
+        p = self.base.P
+        c = pow(self.W, (p - 1) // self.D, p)
+        consts = self.base.monty_array(
+            [pow(c, (i * k) % (p - 1), p) for i in range(self.D)]
+        )
+        consts = xp.asarray(consts)
+        return self.base.monty_mul(a, consts, xp)
+
+    def inv(self, a, xp):
+        """a^-1 via norm: a^-1 = (prod_{k=1}^{D-1} a^(p^k)) / Norm(a)."""
+        conj = self.frobenius(a, 1, xp)
+        for k in range(2, self.D):
+            conj = self.mul(conj, self.frobenius(a, k, xp), xp)
+        # norm = a * conj is in the base field (coefficient 0)
+        norm = self.mul(a, conj, xp)[..., 0]
+        return self.mul_base(conj, self.base.inv(norm, xp), xp)
+
+    def rand(self, rng: np.random.Generator, shape):
+        return self.base.rand(rng, tuple(shape) + (self.D,))
+
+
+@functools.lru_cache(maxsize=None)
+def ext_field(base: Monty31, d: int) -> BinomialExtension:
+    return BinomialExtension(base, d)
