@@ -1,0 +1,122 @@
+"""Duplex-sponge Fiat–Shamir challenger + PoW grinding.
+
+TPU-native equivalent of the reference's upstream `p3-challenger`
+(`DuplexChallenger`, `GrindingChallenger`; SURVEY.md §2.6).  The transcript
+is inherently sequential and tiny, so it runs on the host over numpy scalars
+using the same Poseidon2 permutation code as the device kernels — identical
+semantics by construction (`SURVEY.md §7.4` hard part #1).
+
+Semantics (mirrors the reference's description in
+`book/src/architecture_and_internals/hashing.md:60-95`):
+  observe(v): clear output buffer; push v; duplex when input buffer reaches
+              RATE (overwrite state[0:len], permute, refill output buffer).
+  sample():   duplex first if input buffer non-empty or output buffer empty;
+              pop from the BACK of the output buffer (the reference's
+              `Vec::pop` discipline — first sample is state[RATE-1]).
+  sample_bits(b): sample, take the low b bits of the canonical value.
+  grind(b):   find witness w so that observe(w); sample_bits(b) == 0 —
+              searched in vectorized batches through the same permutation.
+
+Extension elements are observed/sampled coefficient-wise
+(observe_ext / sample_ext), matching `observe_algebra_element`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..fields.extension import BinomialExtension
+from ..fields.monty31 import Monty31, U32
+from ..ops.poseidon2 import Poseidon2Params, permute, poseidon2_params
+
+
+class DuplexChallenger:
+    WIDTH = 16
+    RATE = 8
+
+    def __init__(self, field: Monty31, params: Poseidon2Params | None = None):
+        self.field = field
+        self.params = params or poseidon2_params(field, self.WIDTH)
+        self.state = np.zeros(self.WIDTH, dtype=U32)
+        self.input_buffer: list[int] = []
+        self.output_buffer: list[int] = []
+
+    def clone(self) -> "DuplexChallenger":
+        c = DuplexChallenger(self.field, self.params)
+        c.state = self.state.copy()
+        c.input_buffer = list(self.input_buffer)
+        c.output_buffer = list(self.output_buffer)
+        return c
+
+    def _duplex(self):
+        buf = self.input_buffer
+        if buf:
+            self.state = self.state.copy()
+            self.state[: len(buf)] = np.asarray(buf, dtype=U32)
+        self.state = permute(self.params, self.state[None, :], np)[0]
+        self.output_buffer = [int(x) for x in self.state[: self.RATE]]
+        self.input_buffer = []
+
+    def observe(self, value: int):
+        self.output_buffer = []
+        self.input_buffer.append(int(value) % self.field.P)
+        if len(self.input_buffer) == self.RATE:
+            self._duplex()
+
+    def observe_slice(self, values):
+        for v in np.asarray(values).reshape(-1):
+            self.observe(int(v))
+
+    def observe_ext(self, coeffs):
+        """Observe an extension element coefficient-wise."""
+        self.observe_slice(coeffs)
+
+    def sample(self) -> int:
+        if self.input_buffer or not self.output_buffer:
+            self._duplex()
+        return self.output_buffer.pop()
+
+    def sample_ext(self, ext: BinomialExtension) -> np.ndarray:
+        return np.asarray([self.sample() for _ in range(ext.D)], dtype=U32)
+
+    def sample_bits(self, bits: int) -> int:
+        assert 0 < bits < 31
+        return self.sample() & ((1 << bits) - 1)
+
+    def sample_vec(self, n: int) -> np.ndarray:
+        return np.asarray([self.sample() for _ in range(n)], dtype=U32)
+
+    # ----- PoW grinding (GrindingChallenger) -----
+
+    def check_witness(self, bits: int, witness: int) -> bool:
+        self.observe(witness)
+        return self.sample_bits(bits) == 0
+
+    def grind(self, bits: int, batch: int = 4096) -> int:
+        """Find a witness in vectorized host batches; mutates self like the
+        reference's grind (observe(witness) + sample_bits consumed)."""
+        if bits == 0:
+            assert self.check_witness(bits, 0)
+            return 0
+        k = len(self.input_buffer)
+        base_state = self.state
+        prefix = np.asarray(self.input_buffer, dtype=U32)
+        mask = (1 << bits) - 1
+        start = 0
+        while True:
+            cand = (
+                np.arange(start, start + batch, dtype=np.uint64) % self.field.P
+            ).astype(U32)
+            states = np.broadcast_to(base_state, (batch, self.WIDTH)).copy()
+            if k:
+                states[:, :k] = prefix
+            states[:, k] = cand
+            out = permute(self.params, states, np)
+            # first sample pops the back of the output buffer: state[RATE-1]
+            samples = out[:, self.RATE - 1].astype(np.uint32)
+            hits = np.nonzero((samples & mask) == 0)[0]
+            if hits.size:
+                w = int(cand[hits[0]])
+                assert self.check_witness(bits, w), "grind witness recheck"
+                return w
+            start += batch

@@ -1,0 +1,144 @@
+"""Merkle-tree MMCS: batched vector commitments over matrix batches.
+
+TPU-native equivalent of the reference's upstream `p3-merkle-tree`
+(`MerkleTreeMmcs`) + `p3-commit` (`ExtensionMmcs`); SURVEY.md §2.6.
+
+Semantics:
+* `commit` takes matrices of power-of-two heights (tallest H). Level 0
+  hashes, for every row index, the concatenation of the rows of all
+  height-H matrices (PaddingFreeSponge, rate 8, 8-element digests). Each
+  next level 2-to-1 compresses sibling digests (TruncatedPermutation) and,
+  when matrices of that height exist, injects their row-hash via a second
+  compression: `node = compress(compress(l, r), row_digest)`.
+* `open_batch(index)` returns each matrix's row at `index >> (logH - logh)`
+  plus the sibling-digest path; `verify_batch` recomputes the root.
+
+All level hashes are batched device-friendly Poseidon2 calls; the tree for
+height H costs ~2H permutations total regardless of matrix count.
+
+Extension-field matrices commit via `flatten_ext_matrix` (each ext element
+becomes D adjacent base columns), mirroring `ExtensionMmcs`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..fields.monty31 import Monty31, U32
+from ..ops.hashing import compress_pair, sponge_hash
+from ..ops.poseidon2 import Poseidon2Params, poseidon2_params
+
+DIGEST_ELEMS = 8
+RATE = 8
+
+
+@dataclasses.dataclass
+class MerkleTree:
+    """Prover data: committed matrices + all digest layers (host numpy)."""
+
+    matrices: list  # list[(H_i, W_i) canonical u32], arbitrary order
+    layers: list  # digest layers, layers[0] is the leaf layer (H, 8)
+
+    @property
+    def root(self) -> np.ndarray:
+        return np.asarray(self.layers[-1][0])
+
+
+class MerkleMmcs:
+    def __init__(self, field: Monty31, params: Poseidon2Params | None = None):
+        self.field = field
+        self.params = params or poseidon2_params(field, 16)
+
+    def _rows_digest(self, mats_at_h: list, xp) -> np.ndarray:
+        rows = xp.concatenate([m for m in mats_at_h], axis=1)
+        return sponge_hash(self.params, rows, RATE, DIGEST_ELEMS, xp)
+
+    def commit(self, matrices: list, xp=np) -> tuple[np.ndarray, MerkleTree]:
+        """matrices: list of (H_i, W_i) canonical u32 arrays (H_i = 2^k)."""
+        assert matrices, "empty commitment"
+        heights = [m.shape[0] for m in matrices]
+        for h in heights:
+            assert h & (h - 1) == 0, "heights must be powers of two"
+        by_height: dict[int, list] = {}
+        for m in matrices:
+            by_height.setdefault(m.shape[0], []).append(m)
+        h = max(heights)
+        layer = self._rows_digest(by_height[h], xp)
+        layers = [layer]
+        while h > 1:
+            h //= 2
+            left = layer[0::2]
+            right = layer[1::2]
+            layer = compress_pair(self.params, left, right, xp)
+            if h in by_height:
+                inj = self._rows_digest(by_height[h], xp)
+                layer = compress_pair(self.params, layer, inj, xp)
+            layers.append(layer)
+        tree = MerkleTree(matrices=list(matrices), layers=layers)
+        return np.asarray(layers[-1][0]), tree
+
+    def open_batch(self, index: int, tree: MerkleTree):
+        """Returns (opened_rows per matrix in commit order, sibling path)."""
+        max_h = max(m.shape[0] for m in tree.matrices)
+        log_max = max_h.bit_length() - 1
+        opened = []
+        for m in tree.matrices:
+            h = m.shape[0]
+            opened.append(np.asarray(m[index >> (log_max - (h.bit_length() - 1))]))
+        siblings = []
+        idx = index
+        for level in range(log_max):
+            sib = np.asarray(tree.layers[level][idx ^ 1])
+            siblings.append(sib)
+            idx >>= 1
+        return opened, siblings
+
+    def verify_batch(
+        self,
+        commitment: np.ndarray,
+        dimensions: list[tuple[int, int]],
+        index: int,
+        opened_rows: list,
+        siblings: list,
+        xp=np,
+    ) -> bool:
+        """dimensions: (height, width) per matrix, commit order."""
+        heights = [h for h, _ in dimensions]
+        max_h = max(heights)
+        log_max = max_h.bit_length() - 1
+        if len(siblings) != log_max:
+            return False
+        by_height: dict[int, list] = {}
+        for (h, _w), row in zip(dimensions, opened_rows):
+            by_height.setdefault(h, []).append(np.asarray(row, dtype=U32))
+
+        def digest_at(h):
+            rows = np.concatenate(by_height[h])[None, :]
+            return sponge_hash(self.params, rows, RATE, DIGEST_ELEMS, xp)[0]
+
+        node = digest_at(max_h)
+        idx = index
+        h = max_h
+        for sib in siblings:
+            sib = np.asarray(sib, dtype=U32)
+            l, r = (node, sib) if idx & 1 == 0 else (sib, node)
+            node = compress_pair(self.params, l[None, :], r[None, :], xp)[0]
+            idx >>= 1
+            h //= 2
+            if h in by_height:
+                node = compress_pair(
+                    self.params, node[None, :], digest_at(h)[None, :], xp
+                )[0]
+        return bool(np.array_equal(node, np.asarray(commitment, dtype=U32)))
+
+
+def flatten_ext_matrix(m_ext: np.ndarray) -> np.ndarray:
+    """(H, W, D) extension matrix -> (H, W*D) base matrix (ExtensionMmcs)."""
+    h, w, d = m_ext.shape
+    return np.asarray(m_ext).reshape(h, w * d)
+
+
+def unflatten_ext_row(row: np.ndarray, d: int) -> np.ndarray:
+    return np.asarray(row).reshape(-1, d)
