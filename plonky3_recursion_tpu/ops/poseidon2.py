@@ -166,38 +166,53 @@ def permute(params: Poseidon2Params, state, xp):
     """Poseidon2 permutation, batched over leading dims.
 
     state: (..., width) canonical u32 -> (..., width) canonical u32.
+    The jnp path scans over rounds (round constants are the scanned inputs)
+    to keep the HLO graph small — an unrolled permutation is ~700 muls,
+    which is slow to compile through the remote-compile path.
     """
     F = params.field
     width = params.width
     deg = F.sbox_degree
     rf2 = params.full_rounds // 2
     diag_m = xp.asarray(params.diag_m)
+    rc_ext_m = xp.asarray(params.rc_ext_m)
+    rc_int_m = xp.asarray(F.monty_array(params.rc_int))
 
     # Initial external linear layer (canonical domain: M_E is add-only).
     state = _external_layer(F, state, width, xp)
     # Lift to Monty once; all rounds stay in Monty form.  Round constants are
-    # added in Monty form (rc_m), S-box/linear layers preserve the domain.
+    # added in Monty form, S-box/linear layers preserve the domain.
     sm = F.to_monty(state, xp)
-    rc_ext_m = xp.asarray(params.rc_ext_m)
-    rc_int_m = xp.asarray(F.monty_array(params.rc_int))
 
-    for r in range(rf2):
-        sm = F.add(sm, rc_ext_m[r], xp)
+    def ext_round(sm, rc):
+        sm = F.add(sm, rc, xp)
         sm = _sbox_monty(F, sm, deg, xp)
-        sm = _external_layer(F, sm, width, xp)
-    for r in range(params.partial_rounds):
-        s0 = F.add(sm[..., 0], rc_int_m[r], xp)
-        s0 = _sbox_monty(F, s0, deg, xp)
+        return _external_layer(F, sm, width, xp)
+
+    def int_round(sm, rc):
+        s0 = _sbox_monty(F, F.add(sm[..., 0], rc, xp), deg, xp)
         if xp is np:
             sm = sm.copy()
             sm[..., 0] = s0
         else:
             sm = sm.at[..., 0].set(s0)
-        sm = _internal_layer(F, sm, diag_m, xp)
-    for r in range(rf2, params.full_rounds):
-        sm = F.add(sm, rc_ext_m[r], xp)
-        sm = _sbox_monty(F, sm, deg, xp)
-        sm = _external_layer(F, sm, width, xp)
+        return _internal_layer(F, sm, diag_m, xp)
+
+    if xp is np:
+        for r in range(rf2):
+            sm = ext_round(sm, rc_ext_m[r])
+        for r in range(params.partial_rounds):
+            sm = int_round(sm, rc_int_m[r])
+        for r in range(rf2, params.full_rounds):
+            sm = ext_round(sm, rc_ext_m[r])
+    else:
+        from jax import lax
+
+        step_e = lambda s, rc: (ext_round(s, rc), None)  # noqa: E731
+        step_i = lambda s, rc: (int_round(s, rc), None)  # noqa: E731
+        sm, _ = lax.scan(step_e, sm, rc_ext_m[:rf2])
+        sm, _ = lax.scan(step_i, sm, rc_int_m)
+        sm, _ = lax.scan(step_e, sm, rc_ext_m[rf2:])
 
     return F.from_monty(sm, xp)
 
