@@ -1,0 +1,524 @@
+"""TwoAdicFriPcs: FRI-based polynomial commitment scheme.
+
+TPU-native equivalent of the reference's upstream `p3-fri`
+(`TwoAdicFriPcs`, `FriParameters`) + the PCS face of `p3-commit`
+(SURVEY.md §2.6).  Arity-2 folding (max_log_arity=1); the phase schedule is
+kept explicit so higher arities can slot in later.
+
+Layout / protocol conventions (self-consistent across prover, native
+verifier and the recursion circuits):
+
+* Every committed matrix is re-interpolated from its own coset domain
+  (shift s_i, size 2^k_i) and low-degree-extended onto the STANDARD commit
+  domain g·K of size 2^(k_i + log_blowup) in BIT-REVERSED row order (g the
+  field generator), then Merkle-committed as one mixed-height batch.
+* The batch-opening reduction: with a single global α counter over
+  (round, matrix, point, column),
+      acc_H(x) += α^k · (p_c(x) − p_c(z)) / (x − z)
+  accumulated per LDE height H.  Fold partners (x, −x) are adjacent in
+  bit-reversed order; the phase-r fold of value pairs (a, b) at pair point
+  x is  (a+b)/2 + β_r·(a−b)/(2x), giving the codeword of
+  f_e + β f_o on the squared domain (shift s², half size).  Lower heights
+  roll in additively in index space when the fold reaches their height.
+* Transcript order (PCS part — mirrored exactly by verify and by the
+  recursive verifier circuit, cf. `recursion/src/pcs/fri/targets.rs:748`):
+    1. observe all claimed opened values (round→matrix→point→column,
+       extension coefficient order)
+    2. sample α
+    3. per phase: observe commit digest; grind commit_pow_bits; sample β
+    4. observe final-poly coefficients
+    5. grind query_pow_bits
+    6. per query: sample_bits(log_max_lde_height)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+
+from ..fields.extension import BinomialExtension
+from ..fields.monty31 import Monty31, U32
+from ..ops.ntt import _bitrev_perm, bit_reverse_rows, coset_lde, intt, ntt
+from ..utils import ext_powers, modsum, reduce_matrix_ext
+from .challenger import DuplexChallenger
+from .domains import domain_points
+from .merkle import DIGEST_ELEMS, MerkleMmcs, MerkleTree
+
+
+@dataclasses.dataclass(frozen=True)
+class FriParams:
+    log_blowup: int = 2
+    log_final_poly_len: int = 0
+    num_queries: int = 54
+    commit_pow_bits: int = 0
+    query_pow_bits: int = 0
+
+    @staticmethod
+    def testing() -> "FriParams":
+        """Reference `FriParameters::new_testing` analog (fast params)."""
+        return FriParams(
+            log_blowup=1,
+            log_final_poly_len=0,
+            num_queries=8,
+            commit_pow_bits=0,
+            query_pow_bits=2,
+        )
+
+    @staticmethod
+    def standard(security_level: int = 124) -> "FriParams":
+        """Reference example defaults (recursive_fibonacci.rs:72-107)."""
+        qpw = 15
+        return FriParams(
+            log_blowup=2,
+            log_final_poly_len=5,
+            num_queries=(security_level - qpw) // 2,
+            commit_pow_bits=0,
+            query_pow_bits=qpw,
+        )
+
+
+@dataclasses.dataclass
+class CommittedMatrix:
+    shift: int
+    log_n: int  # original domain size
+    width: int
+    coeffs: np.ndarray  # (2^log_n, w) canonical, coefficient basis
+
+
+@dataclasses.dataclass
+class PcsProverData:
+    matrices: list  # list[CommittedMatrix]
+    tree: MerkleTree  # commits the bit-reversed LDE matrices
+    commitment: np.ndarray
+
+
+@dataclasses.dataclass
+class QueryProof:
+    # per round: (opened rows per matrix (bitrev LDE rows), sibling path)
+    input_openings: list
+    # per phase: (pair row (2*D,) base view, sibling path)
+    commit_steps: list
+
+
+@dataclasses.dataclass
+class FriProof:
+    commit_digests: list
+    commit_pow_witnesses: list
+    final_coeffs: np.ndarray  # (final_len, D)
+    pow_witness: int
+    query_proofs: list
+
+
+@functools.lru_cache(maxsize=None)
+def _fold_consts(field: Monty31, log_size: int, shift: int):
+    """Per-phase fold tables for domain shift·K of size 2^log_size.
+
+    x_pair[j] = shift · w^{rev_{k-1}(j)}  (w = 2^log_size-th root);
+    returns (x_pair, inv_2x) canonical, plus Monty inv_2 scalar.
+    """
+    p = field.P
+    half = 1 << (log_size - 1)
+    nat = domain_points(field, log_size, shift)[:half]
+    x_pair = nat[_bitrev_perm(half)] if half > 1 else nat
+    inv_2x = field.inv(field.double(x_pair, np), np)
+    return x_pair, inv_2x
+
+
+class TwoAdicFriPcs:
+    def __init__(
+        self,
+        field: Monty31,
+        ext: BinomialExtension,
+        params: FriParams,
+        mmcs: MerkleMmcs | None = None,
+    ):
+        self.F = field
+        self.E = ext
+        self.params = params
+        self.mmcs = mmcs or MerkleMmcs(field)
+
+    # ----- commit -----
+
+    def commit(self, mats: list[tuple[int, np.ndarray]], xp=np) -> PcsProverData:
+        """mats: list of (shift, evals (2^k, w)) canonical u32."""
+        F = self.F
+        committed = []
+        ldes = []
+        for shift, evals in mats:
+            n, w = evals.shape
+            log_n = n.bit_length() - 1
+            assert 1 << log_n == n
+            # interpolate on the matrix's own coset: p(shift·y) has coeffs
+            # q_i; p's coeffs are q_i·shift^{-i}
+            coeffs = intt(F, xp.asarray(evals), xp)
+            if shift != 1:
+                inv_s = pow(int(shift), F.P - 2, F.P)
+                from ..ops.ntt import _power_table
+
+                unscale = xp.asarray(_power_table(F, inv_s, n))
+                shaped = unscale.reshape((n,) + (1,) * (evals.ndim - 1))
+                coeffs = F.monty_mul(coeffs, shaped, xp)
+            # LDE onto the standard commit domain g·K, bit-reversed rows
+            m = n << self.params.log_blowup
+            pad = [(0, m - n)] + [(0, 0)] * (evals.ndim - 1)
+            from ..ops.ntt import _power_table
+
+            gpow = xp.asarray(_power_table(F, F.generator, n))
+            scaled = F.monty_mul(
+                coeffs, gpow.reshape((n,) + (1,) * (evals.ndim - 1)), xp
+            )
+            lde = ntt(F, xp.pad(scaled, pad), xp)
+            lde = bit_reverse_rows(lde, xp)
+            committed.append(
+                CommittedMatrix(int(shift), log_n, w, np.asarray(coeffs))
+            )
+            ldes.append(lde)
+        root, tree = self.mmcs.commit(ldes, xp)
+        return PcsProverData(committed, tree, np.asarray(root))
+
+    # ----- evaluation at points (prover side) -----
+
+    def eval_at_point(self, mat: CommittedMatrix, zeta: np.ndarray, xp=np):
+        """p(ζ) for all columns: (w, D) ext values, from coefficients."""
+        F, E = self.F, self.E
+        n = 1 << mat.log_n
+        pows = ext_powers(E, xp.asarray(zeta), n, xp)  # (n, D)
+        coeffs = xp.asarray(mat.coeffs)
+        outs = []
+        for d in range(E.D):
+            pm = F.to_monty(pows[:, d], xp)
+            prod = F.monty_mul(coeffs, pm[:, None], xp)
+            outs.append(modsum(F, prod, 0, xp))
+        return xp.stack(outs, axis=-1)  # (w, D)
+
+    # ----- open (prove) -----
+
+    def open(
+        self,
+        rounds: list[tuple[PcsProverData, list[list[np.ndarray]]]],
+        challenger: DuplexChallenger,
+        xp=np,
+    ):
+        """rounds: [(prover_data, points[mat_idx] = list of ζ (D,))].
+
+        Returns (opened_values, FriProof) where
+        opened_values[round][mat][point] = (w, D) canonical.
+        """
+        F, E, P = self.F, self.E, self.params
+        # 1. claimed evaluations, observed in canonical order
+        opened: list[list[list[np.ndarray]]] = []
+        for data, points in rounds:
+            round_vals = []
+            for mat, pts in zip(data.matrices, points):
+                round_vals.append(
+                    [np.asarray(self.eval_at_point(mat, z, xp)) for z in pts]
+                )
+            opened.append(round_vals)
+        for rv in opened:
+            for mv in rv:
+                for pv in mv:
+                    challenger.observe_slice(pv)
+        # 2. alpha
+        alpha = challenger.sample_ext(E)
+        # 3. per-height reduced openings, global alpha counter
+        total_cols = sum(
+            mat.width * len(pts)
+            for data, points in rounds
+            for mat, pts in zip(data.matrices, points)
+        )
+        alpha_pows = np.asarray(ext_powers(E, np.asarray(alpha), total_cols, np))
+        acc: dict[int, np.ndarray] = {}
+        k = 0
+        for (data, points), round_vals in zip(rounds, opened):
+            for mi, (mat, pts, mat_vals) in enumerate(
+                zip(data.matrices, points, round_vals)
+            ):
+                log_h = mat.log_n + P.log_blowup
+                h = 1 << log_h
+                lde = xp.asarray(data.tree.matrices[mi])
+                x_nat = domain_points(F, log_h, F.generator)
+                x_br = xp.asarray(x_nat[_bitrev_perm(h)])
+                for z, y in zip(pts, mat_vals):
+                    apow = alpha_pows[k : k + mat.width]
+                    # num_red(x) = Σ_c α^{k+c}·p_c(x); y_red = Σ_c α^{k+c}·y_c
+                    num_red = reduce_matrix_ext(F, E, lde, xp.asarray(apow), xp)
+                    y_red = _reduce_vec_ext(F, E, np.asarray(y), apow)
+                    zx = E.sub(
+                        E.from_base(x_br, xp),
+                        xp.broadcast_to(xp.asarray(z), (h, E.D)),
+                        xp,
+                    )
+                    inv_zx = E.inv(zx, xp)
+                    diff = E.sub(
+                        num_red, xp.broadcast_to(xp.asarray(y_red), (h, E.D)), xp
+                    )
+                    term = E.mul(diff, inv_zx, xp)
+                    acc[log_h] = (
+                        term if log_h not in acc else E.add(acc[log_h], term, xp)
+                    )
+                    k += mat.width
+        # 4. commit phase
+        log_max = max(acc)
+        log_final = P.log_final_poly_len + P.log_blowup
+        folded = acc[log_max]
+        shift = F.generator
+        commit_digests = []
+        commit_trees = []
+        commit_pows = []
+        log_size = log_max
+        while log_size > log_final:
+            half = 1 << (log_size - 1)
+            pairs = folded.reshape(half, 2 * E.D)  # adjacent pairs, flattened
+            root, tree = self.mmcs.commit([pairs], xp)
+            commit_digests.append(np.asarray(root))
+            commit_trees.append(tree)
+            challenger.observe_slice(np.asarray(root))
+            if P.commit_pow_bits:
+                commit_pows.append(challenger.grind(P.commit_pow_bits))
+            beta = challenger.sample_ext(E)
+            x_pair, inv_2x = _fold_consts(F, log_size, shift)
+            a = folded[0::2]
+            b = folded[1::2]
+            s = E.add(a, b, xp)
+            d = E.sub(a, b, xp)
+            inv2 = F.monty_constant(pow(2, F.P - 2, F.P))
+            even = F.monty_mul(s, xp.asarray(inv2), xp)
+            odd = E.mul_base(d, xp.asarray(inv_2x), xp)
+            folded = E.add(
+                even,
+                E.mul(odd, xp.broadcast_to(xp.asarray(beta), odd.shape), xp),
+                xp,
+            )
+            shift = shift * shift % F.P
+            log_size -= 1
+            if log_size in acc:
+                folded = E.add(folded, acc[log_size], xp)
+        # final polynomial: interpolate remaining codeword (bitrev, shift)
+        final_evals = bit_reverse_rows(folded, xp)
+        fc = intt(F, final_evals, xp)
+        if shift != 1:
+            from ..ops.ntt import _power_table
+
+            inv_s = pow(shift, F.P - 2, F.P)
+            unscale = xp.asarray(_power_table(F, inv_s, fc.shape[0]))
+            fc = F.monty_mul(fc, unscale[:, None], xp)
+        final_coeffs = np.asarray(fc)[: 1 << P.log_final_poly_len]
+        # degree bound: coefficients above final_poly_len must vanish
+        assert np.all(np.asarray(fc)[1 << P.log_final_poly_len :] == 0), (
+            "FRI final poly exceeds degree bound"
+        )
+        challenger.observe_slice(final_coeffs)
+        # 5. query PoW
+        pow_witness = challenger.grind(P.query_pow_bits) if P.query_pow_bits else 0
+        # 6. queries (each round's tree opened at its height-scaled index)
+        query_proofs = []
+        round_log_max = [
+            max(m.log_n + P.log_blowup for m in data.matrices)
+            for data, _p in rounds
+        ]
+        for _ in range(P.num_queries):
+            index = challenger.sample_bits(log_max)
+            input_openings = []
+            for (data, _pts), rlm in zip(rounds, round_log_max):
+                opened_rows, sibs = self.mmcs.open_batch(
+                    index >> (log_max - rlm), data.tree
+                )
+                input_openings.append((opened_rows, sibs))
+            commit_steps = []
+            idx = index
+            for ph, tree in enumerate(commit_trees):
+                row_idx = idx >> 1
+                rows, sibs = self.mmcs.open_batch(row_idx, tree)
+                commit_steps.append((rows[0], sibs))
+                idx >>= 1
+            query_proofs.append(QueryProof(input_openings, commit_steps))
+        proof = FriProof(
+            commit_digests,
+            commit_pows,
+            final_coeffs,
+            pow_witness,
+            query_proofs,
+        )
+        return opened, proof
+
+    # ----- verify -----
+
+    def verify(
+        self,
+        rounds: list[
+            tuple[np.ndarray, list[tuple[int, list[tuple[np.ndarray, np.ndarray]]]]]
+        ],
+        proof: FriProof,
+        challenger: DuplexChallenger,
+    ):
+        """rounds: [(commitment, mats)] with mats[i] = (log_n,
+        [(ζ (D,), claimed (w, D)), ...]).  Raises on failure.
+        """
+        F, E, P = self.F, self.E, self.params
+        # 1-2. replay opened values, sample alpha
+        for _com, mats in rounds:
+            for _log_n, pts in mats:
+                for _z, y in pts:
+                    challenger.observe_slice(np.asarray(y))
+        alpha = challenger.sample_ext(E)
+        # 3. commit phase challenges
+        betas = []
+        for ph, digest in enumerate(proof.commit_digests):
+            challenger.observe_slice(np.asarray(digest))
+            if P.commit_pow_bits:
+                w = proof.commit_pow_witnesses[ph]
+                if not challenger.check_witness(P.commit_pow_bits, w):
+                    raise ValueError("commit PoW check failed")
+            betas.append(challenger.sample_ext(E))
+        challenger.observe_slice(np.asarray(proof.final_coeffs))
+        if P.query_pow_bits:
+            if not challenger.check_witness(P.query_pow_bits, proof.pow_witness):
+                raise ValueError("query PoW check failed")
+        heights = [
+            log_n + P.log_blowup for _c, mats in rounds for log_n, _p in mats
+        ]
+        log_max = max(heights)
+        log_final = P.log_final_poly_len + P.log_blowup
+        if len(proof.commit_digests) != log_max - log_final:
+            raise ValueError("wrong number of FRI phases")
+        if len(proof.query_proofs) != P.num_queries:
+            raise ValueError("wrong number of query proofs")
+        total_cols = sum(
+            np.asarray(pts[0][1]).shape[0] * len(pts)
+            for _c, mats in rounds
+            for _log_n, pts in mats
+        )
+        alpha_pows = np.asarray(ext_powers(E, np.asarray(alpha), total_cols, np))
+        round_log_max = [
+            max(log_n + P.log_blowup for log_n, _p in mats)
+            for _c, mats in rounds
+        ]
+        # per-query checks
+        for q in range(P.num_queries):
+            index = challenger.sample_bits(log_max)
+            qp = proof.query_proofs[q]
+            # recompute reduced openings per height at this index
+            acc: dict[int, np.ndarray] = {}
+            k = 0
+            for (com, mats), (opened_rows, sibs), rlm in zip(
+                rounds, qp.input_openings, round_log_max
+            ):
+                dims = [
+                    (1 << (log_n + P.log_blowup), np.asarray(pts[0][1]).shape[0])
+                    for log_n, pts in mats
+                ]
+                if not self.mmcs.verify_batch(
+                    np.asarray(com),
+                    dims,
+                    index >> (log_max - rlm),
+                    opened_rows,
+                    sibs,
+                ):
+                    raise ValueError("input MMCS verification failed")
+                for (log_n, pts), row in zip(mats, opened_rows):
+                    log_h = log_n + P.log_blowup
+                    idx_h = index >> (log_max - log_h)
+                    w = np.asarray(row).shape[0]
+                    x = int(
+                        domain_points(F, log_h, F.generator)[
+                            _nat_index(idx_h, log_h)
+                        ]
+                    )
+                    for z, y in pts:
+                        apow = alpha_pows[k : k + w]
+                        p_red = _reduce_vec_ext(
+                            F, E, E.from_base(np.asarray(row), np), apow
+                        )
+                        y_red = _reduce_vec_ext(F, E, np.asarray(y), apow)
+                        zx = E.sub(
+                            E.from_base(np.uint32([x]), np)[0],
+                            np.asarray(z),
+                            np,
+                        )
+                        term = E.mul(
+                            E.sub(p_red, y_red, np), E.inv(zx, np), np
+                        )
+                        acc[log_h] = (
+                            term
+                            if log_h not in acc
+                            else E.add(acc[log_h], term, np)
+                        )
+                        k += w
+            # fold chain
+            folded_val = acc[log_max]
+            idx = index
+            shift = F.generator
+            log_size = log_max
+            for ph, (pair_row, sibs) in enumerate(qp.commit_steps):
+                half = 1 << (log_size - 1)
+                row_idx = idx >> 1
+                if not self.mmcs.verify_batch(
+                    np.asarray(proof.commit_digests[ph]),
+                    [(half, 2 * E.D)],
+                    row_idx,
+                    [pair_row],
+                    sibs,
+                ):
+                    raise ValueError(f"commit-phase MMCS failed at phase {ph}")
+                pair = np.asarray(pair_row, dtype=U32).reshape(2, E.D)
+                if not np.array_equal(pair[idx & 1], folded_val):
+                    raise ValueError(f"fold consistency failed at phase {ph}")
+                x_pair, inv_2x = _fold_consts(F, log_size, shift)
+                a, b = pair[0], pair[1]
+                s = E.add(a, b, np)
+                d = E.sub(a, b, np)
+                inv2 = F.monty_constant(pow(2, F.P - 2, F.P))
+                even = F.monty_mul(s, inv2, np)
+                odd = E.mul_base(d, np.uint32(int(inv_2x[row_idx])), np)
+                folded_val = E.add(
+                    even, E.mul(odd, np.asarray(betas[ph]), np), np
+                )
+                shift = shift * shift % F.P
+                log_size -= 1
+                idx = row_idx
+                if log_size in acc:
+                    folded_val = E.add(folded_val, acc[log_size], np)
+            # final poly check
+            x_fin = int(
+                domain_points(F, log_size, shift)[_nat_index(idx, log_size)]
+            )
+            expect = _eval_poly_ext(E, proof.final_coeffs, x_fin)
+            if not np.array_equal(expect, folded_val):
+                raise ValueError("final polynomial check failed")
+        return True
+
+
+def _nat_index(bitrev_index: int, log_n: int) -> int:
+    """bit-reversed position -> natural domain exponent."""
+    r = 0
+    for b in range(log_n):
+        r |= ((bitrev_index >> b) & 1) << (log_n - 1 - b)
+    return r
+
+
+def _ext_pow_int(E: BinomialExtension, base: np.ndarray, e: int) -> np.ndarray:
+    return E.pow_static(np.asarray(base, dtype=U32), e, np) if e else E.from_base(
+        np.uint32(1), np
+    )
+
+
+def _reduce_vec_ext(F, E, vec_ext: np.ndarray, weights: np.ndarray) -> np.ndarray:
+    """Σ_c vec[c]·weights[c] for (w, D) ext vec and (w, D) ext weights."""
+    prod = E.mul(vec_ext, weights, np)
+    out = prod[0]
+    for c in range(1, prod.shape[0]):
+        out = E.add(out, prod[c], np)
+    return out
+
+
+def _eval_poly_ext(E: BinomialExtension, coeffs: np.ndarray, x: int) -> np.ndarray:
+    """Horner eval of ext-coeff poly at base point x."""
+    F = E.base
+    acc = E.zeros((), np)
+    xm = F.monty_constant(x)
+    for i in range(coeffs.shape[0] - 1, -1, -1):
+        acc = F.monty_mul(acc, xm, np)
+        acc = E.add(acc, np.asarray(coeffs[i], dtype=U32), np)
+    return acc

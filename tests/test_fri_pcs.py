@@ -1,0 +1,180 @@
+"""FRI PCS integration tests (SURVEY.md §4: `recursion/tests/fri.rs` analog —
+native commit/open/verify round-trips, tamper rejection)."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from plonky3_recursion_tpu.fields import BABY_BEAR, KOALA_BEAR, ext_field
+from plonky3_recursion_tpu.stark.challenger import DuplexChallenger
+from plonky3_recursion_tpu.stark.fri_pcs import FriParams, TwoAdicFriPcs
+
+
+def make_pcs(F, D=4, params=None):
+    E = ext_field(F, D)
+    return TwoAdicFriPcs(F, E, params or FriParams.testing()), E
+
+
+def random_round(pcs, F, E, rng, shapes, n_points=1):
+    mats = [(1, F.rand(rng, s)) for s in shapes]
+    data = pcs.commit(mats)
+    points = [
+        [E.rand(rng, ()) for _ in range(n_points)] for _ in shapes
+    ]
+    return data, points
+
+
+@pytest.mark.parametrize("F", [KOALA_BEAR, BABY_BEAR], ids=lambda f: f.name)
+def test_single_matrix_roundtrip(F, rng):
+    pcs, E = make_pcs(F)
+    data, points = random_round(pcs, F, E, rng, [(16, 3)])
+    ch = DuplexChallenger(F)
+    opened, proof = pcs.open([(data, points)], ch)
+    vch = DuplexChallenger(F)
+    rounds_v = [
+        (
+            data.commitment,
+            [
+                (
+                    m.log_n,
+                    [(z, y) for z, y in zip(pts, vals)],
+                )
+                for m, pts, vals in zip(data.matrices, points, opened[0])
+            ],
+        )
+    ]
+    assert pcs.verify(rounds_v, proof, vch)
+
+
+def test_mixed_heights_multi_round(rng):
+    F = KOALA_BEAR
+    pcs, E = make_pcs(F)
+    d1, p1 = random_round(pcs, F, E, rng, [(32, 4), (8, 2)], n_points=2)
+    d2, p2 = random_round(pcs, F, E, rng, [(16, 3)])
+    ch = DuplexChallenger(F)
+    opened, proof = pcs.open([(d1, p1), (d2, p2)], ch)
+
+    def rounds_v():
+        out = []
+        for data, points, ov in [(d1, p1, opened[0]), (d2, p2, opened[1])]:
+            out.append(
+                (
+                    data.commitment,
+                    [
+                        (m.log_n, list(zip(pts, vals)))
+                        for m, pts, vals in zip(data.matrices, points, ov)
+                    ],
+                )
+            )
+        return out
+
+    assert pcs.verify(rounds_v(), proof, DuplexChallenger(F))
+
+    # tamper: claimed opened value
+    rv = rounds_v()
+    z, y = rv[0][1][0][1][0]
+    y2 = y.copy()
+    y2[0, 0] ^= 1
+    rv[0][1][0][1][0] = (z, y2)
+    with pytest.raises(ValueError):
+        pcs.verify(rv, proof, DuplexChallenger(F))
+
+    # tamper: final poly
+    bad = dataclasses.replace(proof, final_coeffs=proof.final_coeffs ^ 1)
+    with pytest.raises(ValueError):
+        pcs.verify(rounds_v(), bad, DuplexChallenger(F))
+
+    # tamper: commit digest
+    bad_digests = [d.copy() for d in proof.commit_digests]
+    bad_digests[0] = bad_digests[0] ^ 1
+    bad = dataclasses.replace(proof, commit_digests=bad_digests)
+    with pytest.raises(ValueError):
+        pcs.verify(rounds_v(), bad, DuplexChallenger(F))
+
+    # tamper: an input opening row
+    import copy
+
+    bad = copy.deepcopy(proof)
+    bad.query_proofs[0].input_openings[0][0][0][0] ^= 1
+    with pytest.raises(ValueError):
+        pcs.verify(rounds_v(), bad, DuplexChallenger(F))
+
+
+def test_pow_and_multiple_queries(rng):
+    F = KOALA_BEAR
+    params = FriParams(
+        log_blowup=1,
+        log_final_poly_len=1,
+        num_queries=13,
+        commit_pow_bits=2,
+        query_pow_bits=4,
+    )
+    pcs, E = make_pcs(F, params=params)
+    data, points = random_round(pcs, F, E, rng, [(64, 2)])
+    ch = DuplexChallenger(F)
+    opened, proof = pcs.open([(data, points)], ch)
+    assert len(proof.commit_pow_witnesses) == len(proof.commit_digests)
+    rv = [
+        (
+            data.commitment,
+            [
+                (m.log_n, list(zip(pts, vals)))
+                for m, pts, vals in zip(data.matrices, points, opened[0])
+            ],
+        )
+    ]
+    assert pcs.verify(rv, proof, DuplexChallenger(F))
+    # wrong pow witness rejected
+    bad = dataclasses.replace(proof, pow_witness=proof.pow_witness + 1)
+    with pytest.raises(ValueError):
+        pcs.verify(rv, bad, DuplexChallenger(F))
+
+
+def test_eval_at_point_matches_interpolation(rng):
+    F = KOALA_BEAR
+    pcs, E = make_pcs(F)
+    evals = F.rand(rng, (8, 2))
+    data = pcs.commit([(1, evals)])
+    z = E.rand(rng, ())
+    got = pcs.eval_at_point(data.matrices[0], z)
+    # ground truth: Horner over interpolated coefficients with python ints
+    from plonky3_recursion_tpu.ops.ntt import intt
+
+    coeffs = intt(F, evals, np)
+    for c in range(2):
+        acc = E.zeros((), np)
+        for i in range(7, -1, -1):
+            acc = E.mul(acc, z, np)
+            acc = E.add(acc, E.from_base(np.uint32(int(coeffs[i, c])), np), np)
+        assert np.array_equal(got[c], acc)
+
+
+def test_nonstandard_shift_commit(rng):
+    """Quotient chunks commit with coset shifts != 1 — opening must still
+    reproduce the interpolant."""
+    F = KOALA_BEAR
+    pcs, E = make_pcs(F)
+    # build evals of a known poly on a shifted coset
+    from plonky3_recursion_tpu.stark.domains import domain_points
+
+    coeffs = [3, 5, 7, 11, 13, 17, 19, 23]
+    shift = int(F.generator)
+    pts = domain_points(F, 3, shift)
+    evals = np.asarray(
+        [[sum(c * pow(int(x), i, F.P) for i, c in enumerate(coeffs)) % F.P] for x in pts],
+        dtype=np.uint32,
+    )
+    data = pcs.commit([(shift, evals)])
+    z = E.rand(rng, ())
+    got = pcs.eval_at_point(data.matrices[0], z)[0]
+    acc = E.zeros((), np)
+    for c in reversed(coeffs):
+        acc = E.mul(acc, z, np)
+        acc = E.add(acc, E.from_base(np.uint32(c), np), np)
+    assert np.array_equal(got, acc)
+    # and the full open/verify round-trip passes
+    ch = DuplexChallenger(F)
+    opened, proof = pcs.open([(data, [[z]])], ch)
+    rv = [(data.commitment, [(3, [(z, opened[0][0][0])])])]
+    assert pcs.verify(rv, proof, DuplexChallenger(F))
