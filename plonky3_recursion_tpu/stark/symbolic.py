@@ -243,12 +243,14 @@ class Evaluator:
     """Evaluates constraint DAGs given bindings for leaves.
 
     Bindings supply, for each leaf class, arrays:
-      main/preprocessed: (segment, offset) -> (N, width) base
-      perm:              offset -> (N, width, D) ext
-      publics:           (num_publics,) base scalars broadcastable
-      challenges:        (num_challenges, D)
+      main/preprocessed: offset -> ('base', (..., width)) during LDE
+                         evaluation, or ('ext', (..., width, D)) when
+                         evaluating at ζ with opened extension values
+      perm:              offset -> (..., width, D) ext
+      publics:           per-index base scalars (broadcastable)
+      challenges:        per-index (D,) ext
       row selectors:     kind -> ('base'|'ext', array)
-    Works with N = LDE height (device quotient eval) or N = 1 (at-ζ eval).
+    Works with N = LDE height (device quotient eval) or scalars (at-ζ eval).
     """
 
     def __init__(self, field: Monty31, ext: BinomialExtension, xp):
@@ -282,7 +284,12 @@ class Evaluator:
                 if e.segment == "perm":
                     v = ("ext", bindings["perm"][e.offset][..., e.col, :])
                 else:
-                    v = ("base", bindings[e.segment][e.offset][..., e.col])
+                    kind, arr = bindings[e.segment][e.offset]
+                    v = (
+                        ("ext", arr[..., e.col, :])
+                        if kind == "ext"
+                        else ("base", arr[..., e.col])
+                    )
             elif isinstance(e, Bin):
                 kind, va, vb = self._promote(ev(e.a), ev(e.b))
                 alg = E if kind == "ext" else F
