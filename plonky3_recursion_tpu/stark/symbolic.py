@@ -99,6 +99,16 @@ class Challenge(SExpr):
         self.idx = idx
 
 
+class Terminal(SExpr):
+    """Extension-valued per-proof constant (LogUp expected_cumulated)."""
+
+    __slots__ = ("idx",)
+
+    def __init__(self, idx: int):
+        super().__init__()
+        self.idx = idx
+
+
 class Const(SExpr):
     __slots__ = ("value",)
 
@@ -214,7 +224,7 @@ def constraint_degree(e: SExpr, cache: dict | None = None) -> int:
         return cache[e.eid]
     if isinstance(e, (Var, RowSel)):
         d = 1
-    elif isinstance(e, (Const, Public, Challenge)):
+    elif isinstance(e, (Const, Public, Challenge, Terminal)):
         d = 0
     elif isinstance(e, Bin):
         da, db = constraint_degree(e.a, cache), constraint_degree(e.b, cache)
@@ -278,6 +288,8 @@ class Evaluator:
                 v = ("base", bindings["publics"][e.idx])
             elif isinstance(e, Challenge):
                 v = ("ext", bindings["challenges"][e.idx])
+            elif isinstance(e, Terminal):
+                v = ("ext", bindings["terminals"][e.idx])
             elif isinstance(e, RowSel):
                 v = bindings["sels"][e.kind]
             elif isinstance(e, Var):

@@ -1,0 +1,167 @@
+"""Batch-stark + LogUp integration tests (SURVEY.md §4: multi-instance batch
+proofs, lookup bus balance, adversarial lookup tests)."""
+
+import numpy as np
+import pytest
+
+from plonky3_recursion_tpu.stark.batch import (
+    StarkInstance,
+    commit_preprocessed,
+    prove_batch,
+    verify_batch,
+)
+from plonky3_recursion_tpu.stark.fri_pcs import FriParams
+from plonky3_recursion_tpu.stark.lookups import Interaction, Lookup
+from plonky3_recursion_tpu.stark.symbolic import Air, Var
+from plonky3_recursion_tpu.stark.uni import koala_bear_config
+
+
+class SenderAir(Air):
+    """Rows (idx, val): sends (idx, val) on the bus with mult +1."""
+
+    width_main = 2
+    num_publics = 0
+
+    def eval(self, b):
+        pass  # no native constraints; bus only
+
+
+class ReceiverAir(Air):
+    """Rows (idx, val) with preprocessed mult col; receives tuples."""
+
+    width_main = 2
+    width_prep = 1
+    num_publics = 0
+
+    def eval(self, b):
+        pass
+
+
+class FibAir(Air):
+    width_main = 2
+    num_publics = 3
+
+    def eval(self, b):
+        a, bb = b.main_local
+        an, bn = b.main_next
+        p0, p1, pf = b.public_values
+        b.when_first_row().assert_eq(a, p0)
+        b.when_first_row().assert_eq(bb, p1)
+        b.when_transition().assert_eq(an, bb)
+        b.when_transition().assert_eq(bn, a + bb)
+        b.when_last_row().assert_eq(bb, pf)
+
+
+def send_lookup(mult=1):
+    return Lookup(
+        "WitnessChecks",
+        [Interaction([Var("main", 0, 0), Var("main", 1, 0)], mult)],
+    )
+
+
+def recv_lookup_prep_mult():
+    # receive with multiplicity -prep[0]
+    return Lookup(
+        "WitnessChecks",
+        [
+            Interaction(
+                [Var("main", 0, 0), Var("main", 1, 0)],
+                0 - Var("preprocessed", 0, 0),
+            )
+        ],
+    )
+
+
+def make_instances(F, tamper=False):
+    n = 8
+    idx = np.arange(n, dtype=np.uint32)
+    val = (idx * 7 + 3) % F.P
+    sender = np.stack([idx, val], axis=1)
+    perm = np.random.default_rng(5).permutation(n)
+    receiver = sender[perm].copy()
+    if tamper:
+        receiver[3, 1] ^= 1
+    prep = np.ones((n, 1), dtype=np.uint32)
+    fib = np.zeros((16, 2), dtype=np.uint32)
+    a, bb = 0, 1
+    for i in range(16):
+        fib[i] = (a, bb)
+        a, bb = bb, (a + bb) % F.P
+    return [
+        StarkInstance(SenderAir(), sender, [], lookups=[send_lookup()]),
+        StarkInstance(
+            ReceiverAir(),
+            receiver,
+            [],
+            preprocessed=prep,
+            lookups=[recv_lookup_prep_mult()],
+        ),
+        StarkInstance(FibAir(), fib, [0, 1, int(fib[-1, 1])]),
+    ]
+
+
+def airs_lookups():
+    return [
+        (SenderAir(), [send_lookup()]),
+        (ReceiverAir(), [recv_lookup_prep_mult()]),
+        (FibAir(), []),
+    ]
+
+
+def test_batch_roundtrip_with_lookups():
+    config = koala_bear_config()
+    instances = make_instances(config.field)
+    common = commit_preprocessed(config, instances)
+    proof = prove_batch(config, instances, common, debug_lookups=True)
+    assert verify_batch(config, airs_lookups(), proof, common)
+
+
+def test_unbalanced_bus_rejected():
+    config = koala_bear_config()
+    instances = make_instances(config.field, tamper=True)
+    common = commit_preprocessed(config, instances)
+    with pytest.raises(ValueError, match="imbalance"):
+        prove_batch(config, instances, common, debug_lookups=True)
+    # without the debug check the proof is produced but the verifier's
+    # balance check rejects it
+    proof = prove_batch(config, instances, common)
+    with pytest.raises(ValueError, match="imbalance"):
+        verify_batch(config, airs_lookups(), proof, common)
+
+
+def test_tampered_terminal_rejected():
+    config = koala_bear_config()
+    instances = make_instances(config.field)
+    common = commit_preprocessed(config, instances)
+    proof = prove_batch(config, instances, common)
+    i, t = proof.lookup_terminals[0]
+    proof.lookup_terminals[0] = (i, t ^ 1)
+    with pytest.raises(ValueError):
+        verify_batch(config, airs_lookups(), proof, common)
+
+
+def test_tampered_fib_public_rejected():
+    config = koala_bear_config()
+    instances = make_instances(config.field)
+    common = commit_preprocessed(config, instances)
+    proof = prove_batch(config, instances, common)
+    proof.publics[2][2] = (proof.publics[2][2] + 1) % config.field.P
+    with pytest.raises(ValueError, match="quotient/constraint"):
+        verify_batch(config, airs_lookups(), proof, common)
+
+
+def test_batch_jnp_matches_np():
+    import jax.numpy as jnp
+
+    config = koala_bear_config(FriParams.testing())
+    instances = make_instances(config.field)
+    common = commit_preprocessed(config, instances)
+    p1 = prove_batch(config, instances, common)
+    common2 = commit_preprocessed(config, instances)
+    p2 = prove_batch(config, instances, common2, xp=jnp)
+    assert np.array_equal(p1.trace_commit, p2.trace_commit)
+    assert np.array_equal(p1.perm_commit, p2.perm_commit)
+    assert np.array_equal(p1.quotient_commit, p2.quotient_commit)
+    assert np.array_equal(
+        np.asarray(p1.fri.final_coeffs), np.asarray(p2.fri.final_coeffs)
+    )
