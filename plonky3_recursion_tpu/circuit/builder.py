@@ -1,0 +1,250 @@
+"""CircuitBuilder: the user-facing circuit construction API.
+
+TPU-native redesign of the reference's `CircuitBuilder`
+(`circuit/src/builder/circuit_builder.rs:49`; SURVEY.md §2.1).  Covers the
+reference surface: publics/consts/privates, add/sub/mul/div, mul_add,
+mul_many, inner_product, assert_zero/assert_bool, connect, select,
+exp_power_of_2, decompose_to_bits, reconstruct_index_from_bits,
+recompose/decompose between base coefficients and extension elements,
+tagging/scoping, hint registration, and NPO (non-primitive op) calls.
+
+Circuit values are extension-field elements (D base coefficients); base
+values are embedded with zero high coefficients, as on the reference's
+witness bus (`book/src/architecture_and_internals/construction.md:80`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from ..fields.extension import BinomialExtension
+from .expr import ADD, BOOL, DIV, MUL, MULADD, SUB, ExprGraph
+
+
+@dataclasses.dataclass
+class HintDecl:
+    """A prover-side computed hint: outputs = fn(input values)."""
+
+    fn: object  # callable(list[tuple]) -> list[tuple]  (D-coeff tuples)
+    inputs: list  # ExprIds
+    outputs: list  # ExprIds (PRIVATE nodes)
+
+
+@dataclasses.dataclass
+class NpoCall:
+    """An instance of a registered non-primitive operation."""
+
+    plugin: object  # NpoPlugin
+    config: object
+    inputs: list  # list[ExprId]
+    outputs: list  # list[ExprId] (NPO_OUT nodes)
+    op_id: int
+    tag: object = None
+
+
+class CircuitBuilder:
+    def __init__(self, ext: BinomialExtension):
+        self.E = ext
+        self.g = ExprGraph(ext.D)
+        self.connects: list[tuple[int, int]] = []
+        self.hints: list[HintDecl] = []
+        self.npos: list[NpoCall] = []
+        self.tags: dict[str, int] = {}
+        self._scopes: list[str] = []
+        self.enabled_ops: dict[str, object] = {}
+
+    # ----- leaf construction -----
+
+    @property
+    def zero(self) -> int:
+        return 0
+
+    def const(self, value) -> int:
+        """value: int (base-embedded) or D-tuple of ints."""
+        if isinstance(value, (int,)):
+            value = (value,) + (0,) * (self.E.D - 1)
+        return self.g.const(tuple(int(v) % self.E.base.P for v in value))
+
+    def one(self) -> int:
+        return self.const(1)
+
+    def public_input(self) -> int:
+        return self.g.public()
+
+    def public_inputs(self, n: int) -> list[int]:
+        return [self.g.public() for _ in range(n)]
+
+    def private_input(self) -> int:
+        return self.g.private()
+
+    # ----- arithmetic -----
+
+    def add(self, a: int, b: int) -> int:
+        if a == 0:
+            return b
+        if b == 0:
+            return a
+        return self.g.op(ADD, a, b)
+
+    def sub(self, a: int, b: int) -> int:
+        if b == 0:
+            return a
+        return self.g.op(SUB, a, b)
+
+    def mul(self, a: int, b: int) -> int:
+        return self.g.op(MUL, a, b)
+
+    def div(self, a: int, b: int) -> int:
+        return self.g.op(DIV, a, b)
+
+    def neg(self, a: int) -> int:
+        return self.sub(0, a)
+
+    def mul_add(self, a: int, b: int, c: int) -> int:
+        """a*b + c as one fused row (reference MulAdd)."""
+        if c == 0:
+            return self.mul(a, b)
+        return self.g.op(MULADD, a, b, c)
+
+    def mul_many(self, xs: list[int]) -> int:
+        acc = xs[0]
+        for x in xs[1:]:
+            acc = self.mul(acc, x)
+        return acc
+
+    def inner_product(self, xs: list[int], ys: list[int]) -> int:
+        acc = 0
+        for x, y in zip(xs, ys):
+            acc = self.mul_add(x, y, acc)
+        return acc
+
+    def add_many(self, xs: list[int]) -> int:
+        acc = 0
+        for x in xs:
+            acc = self.add(acc, x)
+        return acc
+
+    # ----- constraints -----
+
+    def connect(self, a: int, b: int):
+        """Force two expressions onto the same witness slot ("free"
+        equality via union-find, reference ConnectDsu)."""
+        if a != b:
+            self.connects.append((a, b))
+
+    def assert_zero(self, a: int):
+        self.connect(a, 0)
+
+    def assert_eq(self, a: int, b: int):
+        self.connect(a, b)
+
+    def assert_bool(self, a: int) -> int:
+        return self.g.op(BOOL, a)
+
+    def assert_one(self, a: int):
+        self.connect(a, self.one())
+
+    # ----- gadgets -----
+
+    def select(self, cond: int, if_true: int, if_false: int) -> int:
+        """cond·(t−f) + f; cond must be boolean-constrained by caller."""
+        return self.mul_add(cond, self.sub(if_true, if_false), if_false)
+
+    def exp_power_of_2(self, x: int, log_exp: int) -> int:
+        for _ in range(log_exp):
+            x = self.mul(x, x)
+        return x
+
+    def exp_const(self, x: int, e: int) -> int:
+        acc = None
+        base = x
+        while e:
+            if e & 1:
+                acc = base if acc is None else self.mul(acc, base)
+            e >>= 1
+            if e:
+                base = self.mul(base, base)
+        return acc if acc is not None else self.one()
+
+    def decompose_to_bits(self, x: int, n_bits: int) -> list[int]:
+        """Hint n_bits booleans with Σ b_i·2^i == x (constrains x to be a
+        base-embedded value < 2^n_bits; reference BinaryDecompositionHint)."""
+        p = self.E.base.P
+        d = self.E.D
+
+        def fill(vals):
+            v = int(vals[0][0])
+            return [
+                ((v >> i) & 1,) + (0,) * (d - 1) for i in range(n_bits)
+            ]
+
+        bits = [self.private_input() for _ in range(n_bits)]
+        self.hints.append(HintDecl(fill, [x], bits))
+        for b in bits:
+            self.assert_bool(b)
+        self.connect(self.reconstruct_index_from_bits(bits), x)
+        return bits
+
+    def reconstruct_index_from_bits(self, bits: list[int]) -> int:
+        acc = 0
+        for i, b in enumerate(bits):
+            acc = self.mul_add(b, self.const(1 << i), acc)
+        return acc
+
+    def recompose_base_coeffs_to_ext(self, coeffs: list[int]) -> int:
+        """Σ c_d·e_d for the extension basis e_d = x^d (coeffs must be
+        base-embedded)."""
+        assert len(coeffs) == self.E.D
+        acc = 0
+        for d2, c in enumerate(coeffs):
+            basis = tuple(1 if j == d2 else 0 for j in range(self.E.D))
+            acc = self.mul_add(c, self.const(basis), acc)
+        return acc
+
+    def decompose_ext_to_base_coeffs(self, x: int) -> list[int]:
+        d = self.E.D
+
+        def fill(vals):
+            v = vals[0]
+            return [(int(v[j]),) + (0,) * (d - 1) for j in range(d)]
+
+        coeffs = [self.private_input() for _ in range(d)]
+        self.hints.append(HintDecl(fill, [x], coeffs))
+        self.connect(self.recompose_base_coeffs_to_ext(coeffs), x)
+        return coeffs
+
+    def hint(self, fn, inputs: list[int], n_outputs: int) -> list[int]:
+        outs = [self.private_input() for _ in range(n_outputs)]
+        self.hints.append(HintDecl(fn, inputs, outs))
+        return outs
+
+    # ----- NPOs -----
+
+    def enable_op(self, plugin, config=None):
+        self.enabled_ops[plugin.type_id] = (plugin, config)
+
+    def call_npo(self, type_id: str, inputs: list[int], tag=None) -> list[int]:
+        plugin, config = self.enabled_ops[type_id]
+        op_id = len(self.npos)
+        n_out = plugin.num_outputs(config, inputs)
+        outputs = [self.g.npo_out(op_id, k) for k in range(n_out)]
+        self.npos.append(NpoCall(plugin, config, list(inputs), outputs, op_id, tag))
+        return outputs
+
+    # ----- tags / scopes -----
+
+    def tag(self, name: str, eid: int):
+        self.tags[name] = eid
+
+    def push_scope(self, name: str):
+        self._scopes.append(name)
+
+    def pop_scope(self):
+        self._scopes.pop()
+
+    # ----- build -----
+
+    def build(self):
+        from .compile import compile_circuit
+
+        return compile_circuit(self)

@@ -1,0 +1,219 @@
+"""CircuitRunner: vectorized witness generation + trace extraction.
+
+TPU-native redesign of the reference's `CircuitRunner`
+(`circuit/src/tables/runner.rs:22`; SURVEY.md §2.1).  Instead of the
+reference's linear op walk, rows execute level-by-level: each level is a
+batched gather → field op → scatter over the witness table, so witness
+generation for wide circuits is data-parallel (the reference's rayon
+equivalent, SURVEY.md §2.7).
+
+Write-once semantics: every slot has one creator; check rows and hint
+re-writes must agree with the existing value or a WitnessConflict raises —
+the runtime face of the bus-balance argument.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..fields.monty31 import U32
+from .compile import (
+    Circuit,
+    K_ADD,
+    K_BOOL,
+    K_MUL,
+    K_MULADD,
+    SOLVE_A,
+    SOLVE_CHECK,
+    SOLVE_OUT,
+)
+
+
+class WitnessConflict(ValueError):
+    pass
+
+
+class MissingInput(ValueError):
+    pass
+
+
+@dataclasses.dataclass
+class Traces:
+    """All data the table provers need (reference `Traces<F>`)."""
+
+    circuit: Circuit
+    witness: np.ndarray  # (witness_count, D) canonical
+
+    def value(self, wid: int) -> np.ndarray:
+        return self.witness[wid]
+
+    def probe(self, tag: str) -> np.ndarray:
+        return self.witness[self.circuit.tags[tag]]
+
+
+class CircuitRunner:
+    def __init__(self, circuit: Circuit):
+        self.c = circuit
+        d = circuit.ext.D
+        self.wit = np.zeros((circuit.witness_count, d), dtype=U32)
+        self.defined = np.zeros(circuit.witness_count, dtype=bool)
+        self.npo_private: dict = {}
+        # pre-group alu rows by (level, kind, solve)
+        groups: dict[tuple, list] = {}
+        for r in circuit.alu_rows:
+            groups.setdefault((r.level, r.kind, r.solve), []).append(r)
+        self.groups = {
+            key: (
+                np.asarray([r.a for r in rows], dtype=np.int64),
+                np.asarray([r.b for r in rows], dtype=np.int64),
+                np.asarray([r.c for r in rows], dtype=np.int64),
+                np.asarray([r.out for r in rows], dtype=np.int64),
+            )
+            for key, rows in groups.items()
+        }
+        self.hints_by_level: dict[int, list] = {}
+        for h in circuit.hint_ops:
+            self.hints_by_level.setdefault(h.level, []).append(h)
+        self.npos_by_level: dict[int, list] = {}
+        for call in circuit.npo_calls:
+            self.npos_by_level.setdefault(call.level, []).append(call)
+        self._ran = False
+        self.npo_records: dict[str, list] = {}
+
+    # ----- inputs -----
+
+    def _coerce(self, v) -> np.ndarray:
+        d = self.c.ext.D
+        if isinstance(v, (int, np.integer)):
+            out = np.zeros(d, dtype=U32)
+            out[0] = int(v) % self.c.ext.base.P
+            return out
+        arr = np.asarray(v)
+        if arr.shape == ():
+            return self._coerce(int(arr))
+        assert arr.shape == (d,), arr.shape
+        return (arr.astype(np.uint64) % self.c.ext.base.P).astype(U32)
+
+    def set_witness(self, wid: int, value):
+        value = self._coerce(value)
+        if self.defined[wid]:
+            if not np.array_equal(self.wit[wid], value):
+                raise WitnessConflict(
+                    f"witness {wid}: {self.wit[wid]} vs {value}"
+                )
+            return
+        self.wit[wid] = value
+        self.defined[wid] = True
+
+    def set_public_inputs(self, values):
+        if len(values) != len(self.c.public_rows):
+            raise MissingInput(
+                f"expected {len(self.c.public_rows)} publics, got {len(values)}"
+            )
+        for wid, v in zip(self.c.public_rows, values):
+            self.set_witness(wid, v)
+
+    def set_private_inputs(self, values):
+        """External private inputs, in private-index order, excluding hint
+        outputs (which the runner computes)."""
+        hint_outs = {w for h in self.c.hint_ops for w in h.outputs}
+        ext_rows = [w for w in self.c.private_rows if w not in hint_outs]
+        if len(values) != len(ext_rows):
+            raise MissingInput(
+                f"expected {len(ext_rows)} private inputs, got {len(values)}"
+            )
+        for wid, v in zip(ext_rows, values):
+            self.set_witness(wid, v)
+
+    def set_private_data(self, key, data):
+        """NPO private data (e.g. Merkle siblings), keyed by npo tag."""
+        self.npo_private[key] = data
+
+    # ----- execution -----
+
+    def run(self) -> Traces:
+        assert not self._ran
+        self._ran = True
+        c = self.c
+        E = c.ext
+        F = E.base
+        for wid, value, _m in c.const_rows:
+            self.set_witness(wid, value)
+        for wid in c.public_rows:
+            if not self.defined[wid]:
+                raise MissingInput("public inputs not set")
+        levels = sorted(
+            {lvl for lvl, _k, _s in self.groups}
+            | set(self.hints_by_level)
+            | set(self.npos_by_level)
+        )
+        for lvl in levels:
+            for h in self.hints_by_level.get(lvl, []):
+                ins = [tuple(int(x) for x in self.wit[w]) for w in h.inputs]
+                outs = h.fn(ins)
+                for w, v in zip(h.outputs, outs):
+                    self.set_witness(w, v)
+            for (glvl, kind, solve), (a, b, cc, out) in self.groups.items():
+                if glvl != lvl:
+                    continue
+                va = self.wit[a]
+                vb = self.wit[b]
+                vc = self.wit[cc]
+                if kind == K_BOOL:
+                    sq = E.mul(va, va, np)
+                    if not np.array_equal(sq, va):
+                        bad = np.nonzero(np.any(sq != va, axis=-1))[0][0]
+                        raise WitnessConflict(
+                            f"bool check failed on witness {a[bad]}"
+                        )
+                    continue
+                if solve == SOLVE_A:
+                    vo = self.wit[out]
+                    if kind == K_ADD:
+                        res = E.sub(vo, vb, np)
+                    else:  # K_MUL: a = out / b
+                        res = E.mul(vo, E.inv(vb, np), np)
+                    self._scatter(a, res)
+                    continue
+                if kind == K_ADD:
+                    res = E.add(va, vb, np)
+                elif kind == K_MUL:
+                    res = E.mul(va, vb, np)
+                else:  # K_MULADD
+                    res = E.add(E.mul(va, vb, np), vc, np)
+                if solve == SOLVE_OUT:
+                    self._scatter(out, res)
+                else:  # check
+                    vo = self.wit[out]
+                    if not np.array_equal(res, vo):
+                        bad = np.nonzero(np.any(res != vo, axis=-1))[0][0]
+                        raise WitnessConflict(
+                            f"check row mismatch on witness {out[bad]}: "
+                            f"{res[bad]} vs {vo[bad]}"
+                        )
+            for call in self.npos_by_level.get(lvl, []):
+                ins = [self.wit[w].copy() for w in call.inputs]
+                priv = self.npo_private.get(call.tag)
+                outs, record = call.plugin.execute(call.config, ins, priv)
+                for w, v in zip(call.outputs, outs):
+                    self.set_witness(w, v)
+                self.npo_records.setdefault(call.plugin.type_id, []).append(
+                    (call, record)
+                )
+        undef = np.nonzero(~self.defined)[0]
+        if undef.size:
+            raise MissingInput(f"{undef.size} witnesses undefined, first {undef[:5]}")
+        return Traces(circuit=c, witness=self.wit)
+
+    def _scatter(self, wids: np.ndarray, values: np.ndarray):
+        already = self.defined[wids]
+        if np.any(already):
+            idx = np.nonzero(already)[0]
+            if not np.array_equal(self.wit[wids[idx]], values[idx]):
+                raise WitnessConflict(
+                    f"duplicate write disagrees on witness {wids[idx][0]}"
+                )
+        self.wit[wids] = values
+        self.defined[wids] = True
