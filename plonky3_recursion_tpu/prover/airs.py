@@ -1,0 +1,149 @@
+"""Primitive-chip AIRs: ConstAir, PublicAir, AluAir.
+
+TPU-native equivalent of the reference's `p3-circuit-prover` AIR layer
+(`circuit-prover/src/air/{const_air,public_air,alu_air}.rs`;
+SURVEY.md §2.2).  Layouts (single lane; reference-style lane packing is a
+planned optimization):
+
+  ConstAir   main: D value cols            prep: [mult, idx]
+  PublicAir  main: D value cols            prep: [mult, idx]
+  AluAir     main: 4·D cols (a|b|c|out)    prep: [idx_a, idx_b, idx_c,
+             idx_out, mult_a, mult_b, mult_c, mult_out,
+             sel_add, sel_mul, sel_muladd, sel_bool]
+
+Const/Public have no constraints — their soundness is the WitnessChecks bus
+plus native terminal recomputation (values are statically known / public).
+AluAir constrains, per selector, with extension multiplication expanded to
+the binomial convolution over the D base coefficient columns (x^D = W, so
+all constraints stay degree ≤ 3 after selector gating).
+
+Bus convention: idx columns carry WitnessId·D (D-scaled, reference
+`circuit/src/types.rs:400`); every chip interaction is the (1+D)-tuple
+(idx, v_0..v_{D-1}) on the "WitnessChecks" bus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..fields.monty31 import U32
+from ..stark.lookups import Interaction, Lookup
+from ..stark.symbolic import Air, Var
+
+BUS = "WitnessChecks"
+
+# AluAir preprocessed column indices
+P_IDX_A, P_IDX_B, P_IDX_C, P_IDX_OUT = 0, 1, 2, 3
+P_MULT_A, P_MULT_B, P_MULT_C, P_MULT_OUT = 4, 5, 6, 7
+P_SEL_ADD, P_SEL_MUL, P_SEL_MULADD, P_SEL_BOOL = 8, 9, 10, 11
+ALU_PREP_WIDTH = 12
+
+
+class ConstAir(Air):
+    num_publics = 0
+    width_prep = 2
+
+    def __init__(self, d: int):
+        self.d = d
+        self.width_main = d
+
+    def eval(self, b):
+        pass
+
+    def lookups(self):
+        d = self.d
+        return [
+            Lookup(
+                BUS,
+                [
+                    Interaction(
+                        [Var("preprocessed", 1, 0)]
+                        + [Var("main", j, 0) for j in range(d)],
+                        Var("preprocessed", 0, 0),
+                    )
+                ],
+            )
+        ]
+
+
+class PublicAir(Air):
+    num_publics = 0
+    width_prep = 2
+
+    def __init__(self, d: int):
+        self.d = d
+        self.width_main = d
+
+    def eval(self, b):
+        pass
+
+    lookups = ConstAir.lookups
+
+
+class AluAir(Air):
+    num_publics = 0
+    width_prep = ALU_PREP_WIDTH
+
+    def __init__(self, d: int, w_binomial: int):
+        self.d = d
+        self.w = w_binomial
+        self.width_main = 4 * d
+
+    def _slot(self, s: int):
+        return [Var("main", s * self.d + j, 0) for j in range(self.d)]
+
+    def _conv(self, a, b):
+        """Binomial-extension product coefficients (degree-2 exprs)."""
+        d = self.d
+        cols = []
+        for k in range(2 * d - 1):
+            acc = None
+            for i in range(max(0, k - d + 1), min(d, k + 1)):
+                t = a[i] * b[k - i]
+                acc = t if acc is None else acc + t
+            cols.append(acc)
+        out = []
+        for k in range(d):
+            v = cols[k]
+            if k + d < len(cols) + 1 and k + d <= 2 * d - 2:
+                v = v + cols[k + d] * self.w
+            out.append(v)
+        return out
+
+    def eval(self, b):
+        d = self.d
+        a = self._slot(0)
+        bb = self._slot(1)
+        c = self._slot(2)
+        out = self._slot(3)
+        sel_add = Var("preprocessed", P_SEL_ADD, 0)
+        sel_mul = Var("preprocessed", P_SEL_MUL, 0)
+        sel_muladd = Var("preprocessed", P_SEL_MULADD, 0)
+        sel_bool = Var("preprocessed", P_SEL_BOOL, 0)
+        prod = self._conv(a, bb)
+        sq = self._conv(a, a)
+        for j in range(d):
+            b.assert_zero(sel_add * (a[j] + bb[j] - out[j]))
+            b.assert_zero(sel_mul * (prod[j] - out[j]))
+            b.assert_zero(sel_muladd * (prod[j] + c[j] - out[j]))
+            b.assert_zero(sel_bool * (sq[j] - a[j]))
+
+    def lookups(self):
+        d = self.d
+        inters = []
+        for s, (pidx, pmult) in enumerate(
+            [
+                (P_IDX_A, P_MULT_A),
+                (P_IDX_B, P_MULT_B),
+                (P_IDX_C, P_MULT_C),
+                (P_IDX_OUT, P_MULT_OUT),
+            ]
+        ):
+            inters.append(
+                Interaction(
+                    [Var("preprocessed", pidx, 0)]
+                    + [Var("main", s * d + j, 0) for j in range(d)],
+                    Var("preprocessed", pmult, 0),
+                )
+            )
+        return [Lookup(BUS, inters)]

@@ -1,0 +1,303 @@
+"""BatchStarkProver: circuit traces -> one batch-stark proof.
+
+TPU-native equivalent of the reference's `BatchStarkProver`
+(`circuit-prover/src/batch_stark_prover.rs:1203,1230`; SURVEY.md §2.2):
+builds the Const/Public/Alu (+ NPO) table matrices and preprocessed columns
+from a compiled `Circuit` + executed `Traces`, batches them into ONE
+`prove_batch` proof, and verifies by rebuilding every AIR from the circuit
+(the program is fixed, so the verifier reconstructs all shapes natively) —
+including native recomputation of the Const and Public tables' LogUp
+terminals, which is what binds the public inputs to the bus.
+
+`CircuitProverData` caches the offline preprocessed commitment
+(reference `CircuitProverData` / `get_airs_and_degrees_with_prep`,
+`circuit-prover/src/common.rs:127`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..circuit.compile import (
+    Circuit,
+    K_ADD,
+    K_BOOL,
+    K_MUL,
+    K_MULADD,
+)
+from ..fields.monty31 import U32
+from ..stark.batch import (
+    BatchProof,
+    CommonData,
+    StarkInstance,
+    commit_preprocessed,
+    prove_batch,
+    verify_batch,
+)
+from ..stark.uni import StarkConfig
+from ..utils import ext_powers
+from .airs import (
+    ALU_PREP_WIDTH,
+    P_IDX_A,
+    P_MULT_A,
+    P_SEL_ADD,
+    AluAir,
+    ConstAir,
+    PublicAir,
+)
+
+_KIND_TO_SEL = {K_ADD: 0, K_MUL: 1, K_MULADD: 2, K_BOOL: 3}
+
+
+def _pad_pow2(mat: np.ndarray, min_height: int) -> np.ndarray:
+    n = mat.shape[0]
+    target = max(min_height, 1 << max(n - 1, 0).bit_length() if n > 1 else 1)
+    if target == n:
+        return mat
+    return np.pad(mat, [(0, target - n)] + [(0, 0)] * (mat.ndim - 1))
+
+
+def _signed(field, v: int) -> int:
+    return v % field.P
+
+
+@dataclasses.dataclass
+class CircuitTables:
+    """Main + preprocessed matrices for the three primitive chips."""
+
+    const_main: np.ndarray
+    const_prep: np.ndarray
+    public_main: np.ndarray
+    public_prep: np.ndarray
+    alu_main: np.ndarray
+    alu_prep: np.ndarray
+
+
+def build_preprocessed(circuit: Circuit, min_height: int = 4):
+    """Static (trace-independent) preprocessed matrices."""
+    F = circuit.ext.base
+    d = circuit.ext.D
+    # const
+    cp = np.zeros((len(circuit.const_rows), 2), dtype=U32)
+    for i, (w, _v, m) in enumerate(circuit.const_rows):
+        cp[i] = (_signed(F, m), w * d)
+    # public
+    pp = np.zeros((len(circuit.public_rows), 2), dtype=U32)
+    for i, w in enumerate(circuit.public_rows):
+        pp[i] = (_signed(F, circuit.public_mults[i]), w * d)
+    # alu
+    ap = np.zeros((len(circuit.alu_rows), ALU_PREP_WIDTH), dtype=U32)
+    for i, r in enumerate(circuit.alu_rows):
+        ap[i, P_IDX_A : P_IDX_A + 4] = (
+            r.a * d,
+            r.b * d,
+            r.c * d,
+            r.out * d,
+        )
+        ap[i, P_MULT_A : P_MULT_A + 4] = [_signed(F, m) for m in r.mults]
+        ap[i, P_SEL_ADD + _KIND_TO_SEL[r.kind]] = 1
+    return (
+        _pad_pow2(cp, min_height),
+        _pad_pow2(pp, min_height),
+        _pad_pow2(ap, min_height),
+    )
+
+
+def build_main_tables(circuit: Circuit, traces, min_height: int = 4):
+    d = circuit.ext.D
+    wit = traces.witness
+    cm = np.zeros((len(circuit.const_rows), d), dtype=U32)
+    for i, (w, v, _m) in enumerate(circuit.const_rows):
+        cm[i] = v
+    pm = wit[np.asarray(circuit.public_rows, dtype=np.int64)]
+    if len(circuit.alu_rows):
+        a = wit[np.asarray([r.a for r in circuit.alu_rows], dtype=np.int64)]
+        b = wit[np.asarray([r.b for r in circuit.alu_rows], dtype=np.int64)]
+        c = wit[np.asarray([r.c for r in circuit.alu_rows], dtype=np.int64)]
+        o = wit[np.asarray([r.out for r in circuit.alu_rows], dtype=np.int64)]
+        am = np.concatenate([a, b, c, o], axis=1)
+    else:
+        am = np.zeros((0, 4 * d), dtype=U32)
+    return (
+        _pad_pow2(cm, min_height),
+        _pad_pow2(pm, min_height),
+        _pad_pow2(am, min_height),
+    )
+
+
+@dataclasses.dataclass
+class CircuitProverData:
+    """Offline data reused across proofs of the same circuit."""
+
+    common: CommonData
+    preps: tuple  # (const_prep, public_prep, alu_prep)
+    min_height: int
+
+
+def circuit_prover_data(
+    config: StarkConfig, circuit: Circuit, min_height: int | None = None
+) -> CircuitProverData:
+    if min_height is None:
+        min_height = max(4, 1 << config.pcs.params.log_final_poly_len)
+    preps = build_preprocessed(circuit, min_height)
+    instances = _instances(config, circuit, preps, mains=None)
+    common = commit_preprocessed(config, instances)
+    return CircuitProverData(common, preps, min_height)
+
+
+def _airs(config: StarkConfig, circuit: Circuit):
+    d = circuit.ext.D
+    w = circuit.ext.W if d > 1 else 0
+    return [ConstAir(d), PublicAir(d), AluAir(d, w)]
+
+
+def _instances(config, circuit, preps, mains):
+    airs = _airs(config, circuit)
+    d = circuit.ext.D
+    if mains is None:
+        # shapes only (for preprocessed commitment): zero mains of right size
+        mains = [
+            np.zeros((preps[0].shape[0], d), dtype=U32),
+            np.zeros((preps[1].shape[0], d), dtype=U32),
+            np.zeros((preps[2].shape[0], 4 * d), dtype=U32),
+        ]
+    insts = []
+    for air, prep, main in zip(airs, preps, mains):
+        insts.append(
+            StarkInstance(
+                air,
+                main,
+                publics=[],
+                preprocessed=prep,
+                lookups=air.lookups(),
+            )
+        )
+    # public values of the Public instance = flattened public witness coeffs
+    return insts
+
+
+@dataclasses.dataclass
+class BatchStarkProof:
+    batch: BatchProof
+    public_values: np.ndarray  # (num_publics, D) canonical
+
+
+class BatchStarkProver:
+    def __init__(self, config: StarkConfig):
+        self.config = config
+
+    def prove_all_tables(
+        self,
+        circuit: Circuit,
+        traces,
+        prover_data: CircuitProverData,
+        xp=np,
+        debug_lookups: bool = False,
+    ) -> BatchStarkProof:
+        mains = build_main_tables(circuit, traces, prover_data.min_height)
+        instances = _instances(self.config, circuit, prover_data.preps, mains)
+        publics = traces.witness[
+            np.asarray(circuit.public_rows, dtype=np.int64)
+        ]
+        instances[1].publics = [int(x) for x in publics.reshape(-1)]
+        batch = prove_batch(
+            self.config,
+            instances,
+            prover_data.common,
+            xp=xp,
+            debug_lookups=debug_lookups,
+        )
+        return BatchStarkProof(batch, publics)
+
+    def verify_all_tables(
+        self,
+        circuit: Circuit,
+        proof: BatchStarkProof,
+        prover_data: CircuitProverData,
+    ) -> bool:
+        config = self.config
+        F, E = config.field, config.ext
+        airs = _airs(config, circuit)
+        airs_lookups = [(air, air.lookups()) for air in airs]
+        verify_batch(config, airs_lookups, proof.batch, prover_data.common)
+        # bind publics: proof's claimed instance publics must match
+        pubs = np.asarray(proof.public_values, dtype=U32)
+        if [int(x) for x in pubs.reshape(-1)] != list(
+            proof.batch.publics[1]
+        ):
+            raise ValueError("public values mismatch")
+        # natively recompute Const and Public terminals to bind values
+        names = sorted({"WitnessChecks"})
+        # challenges must be re-derived exactly as verify_batch did
+        ch = config.challenger()
+        from ..stark.batch import _bind_instances
+
+        _bind_instances(ch, proof.batch.shapes)
+        if prover_data.common.prep_commitment is not None:
+            ch.observe_slice(prover_data.common.prep_commitment)
+        ch.observe_slice(proof.batch.trace_commit)
+        for ps in proof.batch.publics:
+            ch.observe_slice(np.asarray(ps, dtype=U32))
+        alpha = ch.sample_ext(E)
+        beta = ch.sample_ext(E)
+        d = circuit.ext.D
+        term_by_inst = dict(proof.batch.lookup_terminals)
+        for inst_idx, prep, values in (
+            (
+                0,
+                prover_data.preps[0],
+                _pad_rows(
+                    np.asarray(
+                        [v for _w, v, _m in circuit.const_rows], dtype=U32
+                    ).reshape(-1, d),
+                    prover_data.preps[0].shape[0],
+                    d,
+                ),
+            ),
+            (
+                1,
+                prover_data.preps[1],
+                _pad_rows(pubs, prover_data.preps[1].shape[0], d),
+            ),
+        ):
+            want = _native_terminal(F, E, prep, values, alpha, beta)
+            got = term_by_inst[inst_idx]
+            if not np.array_equal(want, np.asarray(got, dtype=U32)):
+                raise ValueError(
+                    f"instance {inst_idx} terminal does not match native "
+                    "recomputation (publics/constants not bound)"
+                )
+        return True
+
+
+def _pad_rows(mat, height, d):
+    if mat.size == 0:
+        return np.zeros((height, d), dtype=U32)
+    return np.pad(mat, [(0, height - mat.shape[0]), (0, 0)])
+
+
+def _native_terminal(F, E, prep, values, alpha, beta):
+    """Σ_rows mult / (β − (idx + Σ_j α^{1+j} v_j)) over a 2-col-prep table."""
+    n = prep.shape[0]
+    apow = ext_powers(E, np.asarray(alpha), values.shape[1] + 1, np)
+    comp = E.mul_base(
+        np.broadcast_to(apow[0], (n, E.D)), prep[:, 1].astype(U32), np
+    )
+    for j in range(values.shape[1]):
+        comp = E.add(
+            comp,
+            E.mul_base(
+                np.broadcast_to(apow[1 + j], (n, E.D)),
+                values[:, j].astype(U32),
+                np,
+            ),
+            np,
+        )
+    denom = E.sub(np.broadcast_to(np.asarray(beta), comp.shape), comp, np)
+    term = E.mul_base(E.inv(denom, np), prep[:, 0].astype(U32), np)
+    acc = term[0]
+    for i in range(1, n):
+        acc = E.add(acc, term[i], np)
+    return acc
