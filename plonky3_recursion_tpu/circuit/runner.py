@@ -45,6 +45,8 @@ class Traces:
 
     circuit: Circuit
     witness: np.ndarray  # (witness_count, D) canonical
+    npo_records: dict = dataclasses.field(default_factory=dict)
+    # npo_records[type_id][op_id] = executor record (e.g. input state)
 
     def value(self, wid: int) -> np.ndarray:
         return self.witness[wid]
@@ -199,13 +201,13 @@ class CircuitRunner:
                 outs, record = call.plugin.execute(call.config, ins, priv)
                 for w, v in zip(call.outputs, outs):
                     self.set_witness(w, v)
-                self.npo_records.setdefault(call.plugin.type_id, []).append(
-                    (call, record)
-                )
+                self.npo_records.setdefault(call.plugin.type_id, {})[
+                    call.op_id
+                ] = record
         undef = np.nonzero(~self.defined)[0]
         if undef.size:
             raise MissingInput(f"{undef.size} witnesses undefined, first {undef[:5]}")
-        return Traces(circuit=c, witness=self.wit)
+        return Traces(circuit=c, witness=self.wit, npo_records=self.npo_records)
 
     def _scatter(self, wids: np.ndarray, values: np.ndarray):
         already = self.defined[wids]

@@ -217,6 +217,52 @@ def permute(params: Poseidon2Params, state, xp):
     return F.from_monty(sm, xp)
 
 
+def permute_with_rows(params: Poseidon2Params, states, xp):
+    """Batched permutation capturing every round state.
+
+    states: (N, width) -> (N, 2 + RF + RP, width): row 0 is the raw input,
+    row 1 the state after the initial external linear layer, then one row
+    per round (the last row is the permutation output).  Feeds the
+    Poseidon2 table AIR, whose transition constraints replicate exactly
+    these steps.
+    """
+    F = params.field
+    width = params.width
+    deg = F.sbox_degree
+    rf2 = params.full_rounds // 2
+    diag_m = xp.asarray(params.diag_m)
+    rc_ext_m = xp.asarray(params.rc_ext_m)
+    rc_int_m = xp.asarray(F.monty_array(params.rc_int))
+    rows = [states]
+    sm = F.to_monty(_external_layer(F, states, width, xp), xp)
+
+    def emit(sm):
+        rows.append(F.from_monty(sm, xp))
+
+    emit(sm)  # row 1: after the initial M_E
+
+    for r in range(rf2):
+        sm = F.add(sm, rc_ext_m[r], xp)
+        sm = _sbox_monty(F, sm, deg, xp)
+        sm = _external_layer(F, sm, width, xp)
+        emit(sm)
+    for r in range(params.partial_rounds):
+        s0 = _sbox_monty(F, F.add(sm[..., 0], rc_int_m[r], xp), deg, xp)
+        if xp is np:
+            sm = sm.copy()
+            sm[..., 0] = s0
+        else:
+            sm = sm.at[..., 0].set(s0)
+        sm = _internal_layer(F, sm, diag_m, xp)
+        emit(sm)
+    for r in range(rf2, params.full_rounds):
+        sm = F.add(sm, rc_ext_m[r], xp)
+        sm = _sbox_monty(F, sm, deg, xp)
+        sm = _external_layer(F, sm, width, xp)
+        emit(sm)
+    return xp.stack(rows, axis=1)
+
+
 def permute_scalar(params: Poseidon2Params, state_ints):
     """Pure python-int reference (slow, for golden tests)."""
     F = params.field

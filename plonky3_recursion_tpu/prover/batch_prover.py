@@ -98,11 +98,14 @@ def build_preprocessed(circuit: Circuit, min_height: int = 4):
         )
         ap[i, P_MULT_A : P_MULT_A + 4] = [_signed(F, m) for m in r.mults]
         ap[i, P_SEL_ADD + _KIND_TO_SEL[r.kind]] = 1
-    return (
+    preps = [
         _pad_pow2(cp, min_height),
         _pad_pow2(pp, min_height),
         _pad_pow2(ap, min_height),
-    )
+    ]
+    for plugin, calls in _npo_groups(circuit):
+        preps.append(plugin.build_prep(calls, min_height))
+    return tuple(preps)
 
 
 def build_main_tables(circuit: Circuit, traces, min_height: int = 4):
@@ -120,11 +123,16 @@ def build_main_tables(circuit: Circuit, traces, min_height: int = 4):
         am = np.concatenate([a, b, c, o], axis=1)
     else:
         am = np.zeros((0, 4 * d), dtype=U32)
-    return (
+    mains = [
         _pad_pow2(cm, min_height),
         _pad_pow2(pm, min_height),
         _pad_pow2(am, min_height),
-    )
+    ]
+    for plugin, calls in _npo_groups(circuit):
+        recs = traces.npo_records.get(plugin.type_id, {})
+        records = [recs[call.op_id] for call in calls]
+        mains.append(plugin.build_main(calls, records, min_height))
+    return tuple(mains)
 
 
 @dataclasses.dataclass
@@ -147,21 +155,32 @@ def circuit_prover_data(
     return CircuitProverData(common, preps, min_height)
 
 
+def _npo_groups(circuit: Circuit):
+    """Circuit NPO calls grouped by plugin type, deterministic order."""
+    groups: dict[str, tuple] = {}
+    for call in circuit.npo_calls:
+        groups.setdefault(call.plugin.type_id, (call.plugin, []))[1].append(
+            call
+        )
+    return [groups[k] for k in sorted(groups)]
+
+
 def _airs(config: StarkConfig, circuit: Circuit):
     d = circuit.ext.D
     w = circuit.ext.W if d > 1 else 0
-    return [ConstAir(d), PublicAir(d), AluAir(d, w)]
+    airs = [ConstAir(d), PublicAir(d), AluAir(d, w)]
+    for plugin, _calls in _npo_groups(circuit):
+        airs.append(plugin.table_air())
+    return airs
 
 
 def _instances(config, circuit, preps, mains):
     airs = _airs(config, circuit)
-    d = circuit.ext.D
     if mains is None:
         # shapes only (for preprocessed commitment): zero mains of right size
         mains = [
-            np.zeros((preps[0].shape[0], d), dtype=U32),
-            np.zeros((preps[1].shape[0], d), dtype=U32),
-            np.zeros((preps[2].shape[0], 4 * d), dtype=U32),
+            np.zeros((p.shape[0], a.width_main), dtype=U32)
+            for a, p in zip(airs, preps)
         ]
     insts = []
     for air, prep, main in zip(airs, preps, mains):
