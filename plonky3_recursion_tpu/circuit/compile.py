@@ -103,7 +103,8 @@ class Circuit:
     const_rows: list  # [(wid, value_tuple, mult)]
     public_rows: list  # position -> wid
     public_mults: list
-    private_rows: list  # external private positions -> wid
+    private_rows: list  # all private positions -> wid
+    external_private_rows: list  # prover-supplied privates, input order
     alu_rows: list  # list[AluRow]
     hint_ops: list  # list[HintOp]
     npo_calls: list  # list[NpoInstance]
@@ -248,18 +249,26 @@ def compile_circuit(builder) -> Circuit:
         for c in builder.npos
     ]
 
+    # external privates tracked at NODE level: a prover-supplied private may
+    # share a witness class with hint/NPO outputs (e.g. a commit-phase
+    # digest connected to an in-circuit recomputed Merkle root); the
+    # external input is still the level-0 creator and the later writer
+    # becomes a runtime consistency check.
+    hint_out_nodes = {e for h in builder.hints for e in h.outputs}
+    external_private_rows = [
+        wid_of_node[eid]
+        for eid, node in enumerate(g.nodes)
+        if node.kind == PRIVATE and eid not in hint_out_nodes
+    ]
+
     # ----- level scheduling (longest path over creator dependencies) -----
-    # producers: which unit defines each wid
     level_of_wid = np.full(witness_count, -1, dtype=np.int64)
     for w, _v in const_rows:
         level_of_wid[w] = 0
     for w in public_rows:
         level_of_wid[w] = 0
-    # external privates (not hint outputs) are level 0
-    hint_out_wids = {w for h in hint_ops for w in h.outputs}
-    for _idx, w in private_rows.items():
-        if w not in hint_out_wids:
-            level_of_wid[w] = max(level_of_wid[w], 0)
+    for w in external_private_rows:
+        level_of_wid[w] = 0
 
     # iterate until fixpoint (simple worklist; circuits are DAGs by
     # construction, cyclic connects raise after no progress)
@@ -340,10 +349,10 @@ def compile_circuit(builder) -> Circuit:
         for s, w in r.slots():
             touches[w].append(("alu", ri, s))
     for ni, c in enumerate(npo_calls):
-        for w in c.inputs:
-            touches[w].append(("npo_in", ni, 0))
-        for w in c.outputs:
-            touches[w].append(("npo_out", ni, 0))
+        for pos, w in enumerate(c.inputs):
+            touches[w].append(("npo_in", ni, pos))
+        for pos, w in enumerate(c.outputs):
+            touches[w].append(("npo_out", ni, pos))
 
     def sender_priority(t, r_solve_slot):
         kind = t[0]
@@ -380,14 +389,18 @@ def compile_circuit(builder) -> Circuit:
             elif kind == "public":
                 public_mults[i] += mult
             elif kind == "npo_in":
-                npo_in_mult[(i, w)] = npo_in_mult.get((i, w), 0) + mult
+                npo_in_mult[(i, s)] = npo_in_mult.get((i, s), 0) + mult
             elif kind == "npo_out":
-                npo_out_mult[(i, w)] = npo_out_mult.get((i, w), 0) + mult
+                npo_out_mult[(i, s)] = npo_out_mult.get((i, s), 0) + mult
     for ri, r in enumerate(alu_rows):
         r.mults = tuple(alu_mults[ri])
-    for c in npo_calls:
-        c.in_mults = [npo_in_mult.get((c.op_id, w), 0) for w in c.inputs]
-        c.out_mults = [npo_out_mult.get((c.op_id, w), 0) for w in c.outputs]
+    for ni, c in enumerate(npo_calls):
+        c.in_mults = [
+            npo_in_mult.get((ni, pos), 0) for pos in range(len(c.inputs))
+        ]
+        c.out_mults = [
+            npo_out_mult.get((ni, pos), 0) for pos in range(len(c.outputs))
+        ]
 
     const_rows = [
         (w, v, const_mults[i]) for i, (w, v) in enumerate(const_rows)
@@ -400,6 +413,7 @@ def compile_circuit(builder) -> Circuit:
         public_rows=public_rows,
         public_mults=public_mults,
         private_rows=[w for _i, w in sorted(private_rows.items())],
+        external_private_rows=external_private_rows,
         alu_rows=alu_rows,
         hint_ops=hint_ops,
         npo_calls=npo_calls,

@@ -118,10 +118,8 @@ class CircuitRunner:
             self.set_witness(wid, v)
 
     def set_private_inputs(self, values):
-        """External private inputs, in private-index order, excluding hint
-        outputs (which the runner computes)."""
-        hint_outs = {w for h in self.c.hint_ops for w in h.outputs}
-        ext_rows = [w for w in self.c.private_rows if w not in hint_outs]
+        """External (prover-supplied) private inputs, in creation order."""
+        ext_rows = self.c.external_private_rows
         if len(values) != len(ext_rows):
             raise MissingInput(
                 f"expected {len(ext_rows)} private inputs, got {len(values)}"

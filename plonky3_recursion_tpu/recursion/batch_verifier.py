@@ -1,0 +1,592 @@
+"""Batch-stark verifier circuit: the full native verifier lowered to ops.
+
+TPU-native equivalent of the reference's `verify_p3_batch_proof_circuit` /
+`verify_batch_circuit` (`recursion/src/verifier/batch_stark.rs:167,323`)
+plus its FRI verifier circuit (`recursion/src/pcs/fri/verifier.rs:1371`)
+and input builders (`recursion/src/public_inputs.rs`); SURVEY.md §2.4.
+
+The circuit replays, against `stark.batch.verify_batch` bit-for-bit:
+instance-binding observations, challenge derivation (LogUp α/β pairs, the
+constraint-fold α, ζ) through the in-circuit challenger, per-instance
+constraint evaluation at ζ via the symbolic compiler with
+`folded == Q(ζ)·Z_H(ζ)`, lookup terminal-sum zero check, and the whole FRI
+verification: per-query reduced openings with in-circuit MMCS paths,
+β-fold chain with pair-position selects, per-height roll-ins, and the
+final-polynomial Horner check.  Query index bits come from in-circuit
+`sample_bits`.
+
+Value visibility (reference convention, `public_inputs.rs`): commitments,
+inner public values and lookup terminals are PUBLIC inputs of the outer
+circuit; opened values, FRI query data and Merkle siblings are PRIVATE.
+Allocation and proof-packing can never drift: every allocated target
+carries an extractor closure, and `pack_*` simply runs the closures
+against the inner proof.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..circuit.builder import CircuitBuilder
+from ..fields.monty31 import U32
+from ..stark.batch import BatchProof, CommonData
+from ..stark.lookups import add_lookup_constraints, num_perm_cols
+from ..stark.symbolic import AirBuilder
+from ..stark.uni import StarkConfig
+from .challenger_circuit import CircuitChallenger
+from .mmcs_circuit import MmcsGadget
+from .symbolic_compiler import fold_constraints_circuit
+
+
+@dataclasses.dataclass
+class VerifierCircuitResult:
+    """Compiled verifier circuit + input packing (reference
+    `VerifierCircuitResult`, `recursion.rs:143`)."""
+
+    builder: CircuitBuilder
+    public_extractors: list
+    private_extractors: list
+
+    def pack_public_inputs(self, proof: BatchProof) -> list:
+        return [f(proof) for f in self.public_extractors]
+
+    def pack_private_inputs(self, proof: BatchProof) -> list:
+        return [f(proof) for f in self.private_extractors]
+
+
+class _Alloc:
+    def __init__(self, builder: CircuitBuilder):
+        self.b = builder
+        self.pub: list = []
+        self.priv: list = []
+
+    def public(self, extract):
+        t = self.b.public_input()
+        self.pub.append(extract)
+        return t
+
+    def private(self, extract):
+        t = self.b.private_input()
+        self.priv.append(extract)
+        return t
+
+    def public_vec(self, n, extract_i):
+        return [self.public(_bind(extract_i, i)) for i in range(n)]
+
+    def private_vec(self, n, extract_i):
+        return [self.private(_bind(extract_i, i)) for i in range(n)]
+
+
+def _bind(f, *args):
+    # keeps trailing call-args open so vec-index binding composes
+    return lambda pf, *rest: f(pf, *args, *rest)
+
+
+def build_batch_verifier_circuit(
+    config: StarkConfig,
+    airs_lookups: list,
+    shapes: list,
+    common: CommonData,
+    builder: CircuitBuilder | None = None,
+    npo_type_id: str | None = None,
+    terminal_checks: list | None = None,
+) -> VerifierCircuitResult:
+    """Lower `verify_batch(config, airs_lookups, proof, common)` into a
+    circuit for proofs with the given instance shapes.
+
+    terminal_checks: optional [(inst_idx, rows)] where each row is
+    (mult_int, idx_int, value_spec); value_spec is a D-tuple of ints
+    (static constants) or ("public", flat_index) referencing the inner
+    public values.  The circuit recomputes those instances' LogUp terminals
+    from first principles and connects them to the claimed terminals —
+    the in-circuit analog of the native verifier's Const/Public terminal
+    recomputation (which binds committed constants and publics to the bus).
+    """
+    F, E = config.field, config.ext
+    P = config.pcs.params
+    p = F.P
+    d = E.D
+    if builder is None:
+        builder = CircuitBuilder(E)
+        from ..prover.poseidon2_table import koala_bear_poseidon2_npo
+
+        npo = koala_bear_poseidon2_npo()
+        builder.enable_op(npo)
+        npo_type_id = npo.type_id
+    b = builder
+    al = _Alloc(b)
+    ch = CircuitChallenger(b, npo_type_id)
+    mmcs = MmcsGadget(b, npo_type_id)
+
+    names = sorted({lk.name for _a, lks in airs_lookups for lk in lks})
+    challenge_idx = {nm: 2 * i for i, nm in enumerate(names)}
+    builders = []
+    for (air, lks), s in zip(airs_lookups, shapes):
+        ab = AirBuilder(
+            air.width_main,
+            s.width_prep,
+            s.num_publics,
+            num_perm_ext=num_perm_cols(lks),
+            num_challenges=2 * len(names),
+        )
+        air.eval(ab)
+        add_lookup_constraints(ab, lks, challenge_idx)
+        builders.append(ab)
+
+    # ----- transcript: instance binding -----
+    ch.observe(b.const(len(shapes)))
+    for s in shapes:
+        for v in (
+            s.log_n,
+            s.width_main,
+            s.width_prep,
+            s.num_publics,
+            1 << s.log_quotient_degree,
+        ):
+            ch.observe(b.const(v))
+    # preprocessed commitment is fixed at circuit build time -> constants
+    if common.prep_commitment is not None:
+        for v in common.prep_commitment:
+            ch.observe(b.const(int(v)))
+    trace_commit = al.public_vec(
+        8, lambda pf, i: int(pf.trace_commit[i])
+    )
+    ch.observe_slice(trace_commit)
+    inner_publics = []
+    for ii, s in enumerate(shapes):
+        ptargets = al.public_vec(
+            s.num_publics, _bind(lambda pf, ii, i: int(pf.publics[ii][i]), ii)
+        )
+        inner_publics.append(ptargets)
+        ch.observe_slice(ptargets)
+    challenges = {}
+    for nm in names:
+        a_t = ch.sample_ext()
+        b_t = ch.sample_ext()
+        challenges[nm] = (a_t, b_t)
+    has_perm = any(lks for _a, lks in airs_lookups)
+    term_targets: dict[int, int] = {}
+    if has_perm:
+        perm_commit = al.public_vec(8, lambda pf, i: int(pf.perm_commit[i]))
+        ch.observe_slice(perm_commit)
+        for k, (ii, _lks) in enumerate(
+            [(i, lks) for i, (_a, lks) in enumerate(airs_lookups) if lks]
+        ):
+            coeffs = al.public_vec(
+                d,
+                _bind(
+                    lambda pf, k, j: int(
+                        np.asarray(pf.lookup_terminals[k][1]).reshape(-1)[j]
+                    ),
+                    k,
+                ),
+            )
+            ch.observe_slice(coeffs)
+            term_targets[ii] = b.recompose_base_coeffs_to_ext(coeffs)
+    alpha = ch.sample_ext()
+    quotient_commit = al.public_vec(
+        8, lambda pf, i: int(pf.quotient_commit[i])
+    )
+    ch.observe_slice(quotient_commit)
+    zeta = ch.sample_ext()
+
+    # ----- lookup terminal sum == 0 -----
+    if term_targets:
+        b.assert_zero(b.add_many(list(term_targets.values())))
+
+    # ----- native-terminal recomputation for static/public tables -----
+    flat_publics = [t for ts in inner_publics for t in ts]
+    for inst_idx, rows in terminal_checks or []:
+        a_t, b_t = challenges["WitnessChecks"]
+        apw = [b.one()]
+        for _ in range(d):
+            apw.append(b.mul(apw[-1], a_t))
+        acc = b.zero
+        for mult, idx, value_spec in rows:
+            if mult % p == 0:
+                continue
+            comp = b.const(idx)
+            if value_spec and value_spec[0] == "public":
+                vals = [
+                    flat_publics[value_spec[1] + j] for j in range(d)
+                ]
+            else:
+                vals = [b.const(int(v)) for v in value_spec]
+            for j in range(d):
+                comp = b.mul_add(vals[j], apw[1 + j], comp)
+            acc = b.add(acc, b.div(b.const(mult % p), b.sub(b_t, comp)))
+        b.connect(acc, term_targets[inst_idx])
+
+    # ----- allocate opened values (private) -----
+    def tr_open(pf, ii, which, c, j):
+        return int(np.asarray(pf.trace_openings[ii][which])[c, j])
+
+    trace_opens = []  # [inst][offset][col] ext targets
+    for ii, s in enumerate(shapes):
+        per = []
+        for which in (0, 1):
+            cols = []
+            for c in range(s.width_main):
+                coeffs = al.private_vec(
+                    d, _bind(tr_open, ii, which, c)
+                )
+                cols.append(b.recompose_base_coeffs_to_ext(coeffs))
+            per.append(cols)
+        trace_opens.append(per)
+
+    prep_order = [i for i, _l, _w2 in common.prep_shapes]
+
+    def prep_open(pf, k, which, c, j):
+        return int(np.asarray(pf.prep_openings[k][1 + which])[c, j])
+
+    prep_opens: dict[int, list] = {}
+    for k, ii in enumerate(prep_order):
+        per = []
+        for which in (0, 1):
+            cols = []
+            for c in range(shapes[ii].width_prep):
+                coeffs = al.private_vec(d, _bind(prep_open, k, which, c))
+                cols.append(b.recompose_base_coeffs_to_ext(coeffs))
+            per.append(cols)
+        prep_opens[ii] = per
+
+    perm_order = [i for i, (_a, lks) in enumerate(airs_lookups) if lks]
+
+    def perm_open(pf, k, which, c, j):
+        return int(np.asarray(pf.perm_openings[k][1 + which])[c, j])
+
+    perm_opens_flat: dict[int, list] = {}
+    for k, ii in enumerate(perm_order):
+        per = []
+        npc = shapes[ii].num_perm_cols
+        for which in (0, 1):
+            cols = []
+            for c in range(npc * d):
+                coeffs = al.private_vec(d, _bind(perm_open, k, which, c))
+                cols.append(b.recompose_base_coeffs_to_ext(coeffs))
+            per.append(cols)
+        perm_opens_flat[ii] = per
+
+    def q_open(pf, ii, ci, c, j):
+        return int(np.asarray(pf.quotient_chunks[ii][ci])[c, j])
+
+    q_opens = []  # [inst][chunk][col] ext targets
+    for ii, s in enumerate(shapes):
+        chunks = []
+        for ci in range(1 << s.log_quotient_degree):
+            cols = []
+            for c in range(d):
+                coeffs = al.private_vec(d, _bind(q_open, ii, ci, c))
+                cols.append(b.recompose_base_coeffs_to_ext(coeffs))
+            chunks.append(cols)
+        q_opens.append(chunks)
+
+    # ----- per-instance constraint check at ζ -----
+    basis = [
+        b.const(tuple(1 if j == k else 0 for j in range(d))) for k in range(d)
+    ]
+    for ii, ((air, lks), s, ab) in enumerate(
+        zip(airs_lookups, shapes, builders)
+    ):
+        n = 1 << s.log_n
+        g_inv = b.const(pow(F.two_adic_generator(s.log_n), p - 2, p))
+        zeta_n = b.exp_power_of_2(zeta, s.log_n)
+        z_h = b.sub(zeta_n, b.one())
+        first = b.div(z_h, b.sub(zeta, b.one()))
+        transition = b.sub(zeta, g_inv)
+        last = b.div(z_h, transition)
+        # perm recompose from flattened base-coefficient columns
+        perm_local_next = [[], []]
+        if ii in perm_opens_flat:
+            for which in (0, 1):
+                flat = perm_opens_flat[ii][which]
+                for cc in range(s.num_perm_cols):
+                    acc = b.zero
+                    for k in range(d):
+                        acc = b.mul_add(flat[cc * d + k], basis[k], acc)
+                    perm_local_next[which].append(acc)
+        bindings = {
+            "main": {0: trace_opens[ii][0], 1: trace_opens[ii][1]},
+            "preprocessed": {
+                0: prep_opens.get(ii, [[], []])[0],
+                1: prep_opens.get(ii, [[], []])[1],
+            },
+            "perm": {0: perm_local_next[0], 1: perm_local_next[1]},
+            "publics": inner_publics[ii],
+            "challenges": [
+                challenges[nm][j] for nm in names for j in (0, 1)
+            ],
+            "terminals": [term_targets[ii]] if ii in term_targets else [],
+            "sels": {"first": first, "last": last, "transition": transition},
+        }
+        folded = fold_constraints_circuit(b, ab.constraints, bindings, alpha)
+        # recompose Q(ζ) from chunks (native denominators)
+        lq = s.log_quotient_degree
+        qdeg = 1 << lq
+        wq = F.two_adic_generator(s.log_n + lq)
+        u_n = pow(wq, n, p)
+        s_n = pow(int(F.generator), n, p)
+        q_zeta = b.zero
+        for ci in range(qdeg):
+            q_i = b.zero
+            for k in range(d):
+                q_i = b.mul_add(q_opens[ii][ci][k], basis[k], q_i)
+            w_t = b.one()
+            den = 1
+            for j in range(qdeg):
+                if j == ci:
+                    continue
+                cj = s_n * pow(u_n, j, p) % p
+                w_t = b.mul(w_t, b.sub(zeta_n, b.const(cj)))
+                den = den * (s_n * (pow(u_n, ci, p) - pow(u_n, j, p)) % p) % p
+            w_t = b.mul(w_t, b.const(pow(den, p - 2, p)))
+            q_zeta = b.mul_add(q_i, w_t, q_zeta)
+        b.connect(folded, b.mul(q_zeta, z_h))
+
+    # ----- FRI verification -----
+    # round structure mirrors verify_batch's rounds_v
+    rounds = []  # (commit_targets, [(log_n, [(point, [col ext targets])])], dims, extractors)
+    zgs = {}
+    for s in shapes:
+        if s.log_n not in zgs:
+            zgs[s.log_n] = b.mul(
+                zeta, b.const(F.two_adic_generator(s.log_n))
+            )
+    trace_mats = []
+    for ii, s in enumerate(shapes):
+        trace_mats.append(
+            (
+                s.log_n,
+                [
+                    (zeta, trace_opens[ii][0]),
+                    (zgs[s.log_n], trace_opens[ii][1]),
+                ],
+            )
+        )
+    rounds.append(("trace", trace_commit, trace_mats))
+    if common.prep_commitment is not None:
+        prep_commit_t = [
+            b.const(int(v)) for v in common.prep_commitment
+        ]
+        prep_mats = []
+        for k, ii in enumerate(prep_order):
+            s = shapes[ii]
+            prep_mats.append(
+                (
+                    s.log_n,
+                    [
+                        (zeta, prep_opens[ii][0]),
+                        (zgs[s.log_n], prep_opens[ii][1]),
+                    ],
+                )
+            )
+        rounds.append(("prep", prep_commit_t, prep_mats))
+    if has_perm:
+        perm_mats = []
+        for k, ii in enumerate(perm_order):
+            s = shapes[ii]
+            perm_mats.append(
+                (
+                    s.log_n,
+                    [
+                        (zeta, perm_opens_flat[ii][0]),
+                        (zgs[s.log_n], perm_opens_flat[ii][1]),
+                    ],
+                )
+            )
+        rounds.append(("perm", perm_commit, perm_mats))
+    q_mats = []
+    for ii, s in enumerate(shapes):
+        for ci in range(1 << s.log_quotient_degree):
+            q_mats.append((s.log_n, [(zeta, q_opens[ii][ci])]))
+    rounds.append(("quotient", quotient_commit, q_mats))
+
+    _verify_fri_circuit(config, b, al, ch, mmcs, rounds, P)
+
+    return VerifierCircuitResult(b, al.pub, al.priv)
+
+
+def _verify_fri_circuit(config, b, al, ch, mmcs, rounds, P):
+    """In-circuit mirror of `TwoAdicFriPcs.verify` (fri_pcs.py)."""
+    F, E = config.field, config.ext
+    p = F.P
+    d = E.D
+
+    # 1-2. observe opened values, sample alpha (matches fri_pcs order)
+    for _name, _ct, mats in rounds:
+        for _log_n, pts in mats:
+            for _z, cols in pts:
+                for t in cols:
+                    ch.observe_ext(t)
+    alpha = ch.sample_ext()
+    # alpha power targets (global column counter)
+    total_cols = sum(
+        len(cols) for _n, _c, mats in rounds for _l, pts in mats for _z, cols in pts
+    )
+    apow = [b.one()]
+    for _ in range(total_cols - 1):
+        apow.append(b.mul(apow[-1], alpha))
+    # 3. commit phases
+    heights = [
+        log_n + P.log_blowup for _n, _c, mats in rounds for log_n, _p2 in mats
+    ]
+    log_max = max(heights)
+    log_final = P.log_final_poly_len + P.log_blowup
+    num_phases = log_max - log_final
+
+    def phase_digest(pf, ph, i):
+        return int(pf.fri.commit_digests[ph][i])
+
+    betas = []
+    phase_commits = []
+    for ph in range(num_phases):
+        dig = al.private_vec(8, _bind(phase_digest, ph))
+        phase_commits.append(dig)
+        ch.observe_slice(dig)
+        if P.commit_pow_bits:
+            w = al.private(
+                _bind(lambda pf, ph: int(pf.fri.commit_pow_witnesses[ph]), ph)
+            )
+            ch.check_pow_witness(w, P.commit_pow_bits)
+        betas.append(ch.sample_ext())
+    final_len = 1 << P.log_final_poly_len
+
+    def final_coeff(pf, i, j):
+        return int(np.asarray(pf.fri.final_coeffs)[i, j])
+
+    final_coeffs = []
+    for i in range(final_len):
+        coeffs = al.private_vec(d, _bind(final_coeff, i))
+        t = b.recompose_base_coeffs_to_ext(coeffs)
+        final_coeffs.append(t)
+        for c in coeffs:
+            ch.observe(c)
+    if P.query_pow_bits:
+        w = al.private(lambda pf: int(pf.fri.pow_witness))
+        ch.check_pow_witness(w, P.query_pow_bits)
+
+    # precompute y_red per (round, matrix, point) — shared across queries
+    y_reds = []
+    k = 0
+    for _name, _ct, mats in rounds:
+        for log_n, pts in mats:
+            for z, cols in pts:
+                acc = b.zero
+                for c, t in enumerate(cols):
+                    acc = b.mul_add(t, apow[k + c], acc)
+                y_reds.append((log_n, z, acc, k, len(cols)))
+                k += len(cols)
+
+    round_log_max = [
+        max(log_n + P.log_blowup for log_n, _p2 in mats)
+        for _n, _c, mats in rounds
+    ]
+    inv2 = b.const(pow(2, p - 2, p))
+
+    # per-query verification
+    for q in range(P.num_queries):
+        bits = ch.sample_bits(log_max)
+
+        def x_from_bits(log_h, shift_int, bit_targets):
+            """shift · ω^{rev(idx)} from LSB-first bit targets."""
+            wgen = F.two_adic_generator(log_h)
+            x = b.const(shift_int)
+            m = len(bit_targets)
+            for bi, bit in enumerate(bit_targets):
+                factor = pow(wgen, 1 << (m - 1 - bi), p)
+                x = b.mul(x, b.select(bit, b.const(factor), b.one()))
+            return x
+
+        # input openings + MMCS per round
+        def open_row(pf, q, ri, mi, c):
+            rows, _sibs = pf.fri.query_proofs[q].input_openings[ri]
+            return int(np.asarray(rows[mi])[c])
+
+        def open_sib(pf, q, ri, lv, i):
+            _rows, sibs = pf.fri.query_proofs[q].input_openings[ri]
+            return int(np.asarray(sibs[lv])[i])
+
+        acc: dict[int, int] = {}
+        yi = 0
+        for ri, (_name, commit_t, mats) in enumerate(rounds):
+            rlm = round_log_max[ri]
+            rbits = bits[log_max - rlm :] if rlm < log_max else bits
+            opened_rows = []
+            dims = []
+            for mi, (log_n, pts) in enumerate(mats):
+                w = len(pts[0][1])
+                row = al.private_vec(w, _bind(open_row, q, ri, mi))
+                opened_rows.append(row)
+                dims.append((1 << (log_n + P.log_blowup), w))
+            sibs = [
+                al.private_vec(8, _bind(open_sib, q, ri, lv))
+                for lv in range(rlm)
+            ]
+            mmcs.verify_batch(commit_t, dims, rbits, opened_rows, sibs)
+            for mi, (log_n, pts) in enumerate(mats):
+                log_h = log_n + P.log_blowup
+                hbits = bits[log_max - log_h :] if log_h < log_max else bits
+                x = x_from_bits(log_h, int(F.generator), hbits)
+                for z, _cols in pts:
+                    _ln, _z, y_red, kk, w = y_reds[yi]
+                    yi += 1
+                    p_red = b.zero
+                    for c in range(w):
+                        p_red = b.mul_add(
+                            opened_rows[mi][c], apow[kk + c], p_red
+                        )
+                    term = b.div(b.sub(p_red, y_red), b.sub(x, z))
+                    acc[log_h] = (
+                        term
+                        if log_h not in acc
+                        else b.add(acc[log_h], term)
+                    )
+        # fold chain
+        folded = acc[log_max]
+        log_size = log_max
+        shift = int(F.generator)
+
+        def pair_coeff(pf, q, ph, i):
+            row, _s = pf.fri.query_proofs[q].commit_steps[ph]
+            return int(np.asarray(row)[i])
+
+        def step_sib(pf, q, ph, lv, i):
+            _row, sibs = pf.fri.query_proofs[q].commit_steps[ph]
+            return int(np.asarray(sibs[lv])[i])
+
+        for ph in range(num_phases):
+            half_log = log_size - 1
+            pair_flat = al.private_vec(2 * d, _bind(pair_coeff, q, ph))
+            pair0 = b.recompose_base_coeffs_to_ext(pair_flat[:d])
+            pair1 = b.recompose_base_coeffs_to_ext(pair_flat[d:])
+            sibs = [
+                al.private_vec(8, _bind(step_sib, q, ph, lv))
+                for lv in range(half_log)
+            ]
+            row_bits = bits[ph + 1 :]
+            mmcs.verify_batch(
+                phase_commits[ph],
+                [(1 << half_log, 2 * d)],
+                row_bits,
+                [pair_flat],
+                sibs,
+            )
+            b.connect(b.select(bits[ph], pair1, pair0), folded)
+            # fold: (a+b)/2 + β·(a−b)/(2x)
+            x_pair = x_from_bits(log_size, shift, bits[ph + 1 :][: log_size - 1])
+            a_t, b_t = pair0, pair1
+            even = b.mul(b.add(a_t, b_t), inv2)
+            odd = b.div(b.sub(a_t, b_t), b.mul(b.const(2), x_pair))
+            folded = b.mul_add(betas[ph], odd, even)
+            shift = shift * shift % p
+            log_size -= 1
+            if log_size in acc:
+                folded = b.add(folded, acc[log_size])
+        # final poly check
+        x_fin = x_from_bits(log_size, shift, bits[num_phases:])
+        expect = b.zero
+        for t in reversed(final_coeffs):
+            expect = b.mul_add(expect, x_fin, t)
+        b.connect(expect, folded)

@@ -1,0 +1,159 @@
+"""Unified recursion API: build/prove the next layer, chain indefinitely.
+
+TPU-native equivalent of the reference's recursion surface
+(`recursion/src/recursion.rs:96-996`; SURVEY.md §2.4): `RecursionInput`,
+`build_next_layer_circuit`, `prove_next_layer`, `into_recursion_input`, and
+the `NextLayerPrepCache` that reuses the expensive offline preprocessed
+commitment when the circuit reaches its fixed point.
+
+Each layer proves the statement "the previous batch-stark proof verifies":
+the previous layer's proof becomes public (commitments, publics, lookup
+terminals) + private (openings, FRI data, siblings) inputs of the verifier
+circuit, which is itself proven with the same BatchStarkProver.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..circuit.compile import Circuit
+from ..fields.monty31 import U32
+from ..prover.batch_prover import (
+    BatchStarkProof,
+    BatchStarkProver,
+    CircuitProverData,
+    _airs,
+    _npo_groups,
+    build_preprocessed,
+    circuit_prover_data,
+)
+from ..stark.batch import InstanceShape
+from ..stark.lookups import add_lookup_constraints, num_perm_cols
+from ..stark.symbolic import AirBuilder, log_quotient_degree
+from ..stark.uni import StarkConfig
+from .batch_verifier import VerifierCircuitResult, build_batch_verifier_circuit
+
+
+@dataclasses.dataclass
+class RecursionInput:
+    """A proof + the static data needed to verify it recursively."""
+
+    proof: BatchStarkProof
+    circuit: Circuit
+    prover_data: CircuitProverData
+
+
+def compute_shapes(config: StarkConfig, circuit: Circuit, pdata) -> list:
+    """Instance shapes of any proof of `circuit` (statically known)."""
+    airs = _airs(config, circuit)
+    preps = pdata.preps
+    names = ["WitnessChecks"]
+    challenge_idx = {nm: 2 * i for i, nm in enumerate(names)}
+    shapes = []
+    num_publics_by_inst = {1: len(circuit.public_rows) * circuit.ext.D}
+    for idx, (air, prep) in enumerate(zip(airs, preps)):
+        lks = air.lookups()
+        ab = AirBuilder(
+            air.width_main,
+            prep.shape[1],
+            num_publics_by_inst.get(idx, 0),
+            num_perm_ext=num_perm_cols(lks),
+            num_challenges=2 * len(names),
+        )
+        air.eval(ab)
+        add_lookup_constraints(ab, lks, challenge_idx)
+        shapes.append(
+            InstanceShape(
+                log_n=prep.shape[0].bit_length() - 1,
+                width_main=air.width_main,
+                width_prep=prep.shape[1],
+                num_publics=num_publics_by_inst.get(idx, 0),
+                num_perm_cols=num_perm_cols(lks),
+                log_quotient_degree=log_quotient_degree(ab.constraints),
+            )
+        )
+    return shapes
+
+
+def _terminal_checks(circuit: Circuit, pdata) -> list:
+    """Const/Public terminal recomputation specs for the verifier circuit."""
+    d = circuit.ext.D
+    const_rows = [
+        (m, w * d, tuple(int(x) for x in v))
+        for (w, v, m) in circuit.const_rows
+    ]
+    pub_rows = [
+        (circuit.public_mults[i], w * d, ("public", i * d))
+        for i, w in enumerate(circuit.public_rows)
+    ]
+    return [(0, const_rows), (1, pub_rows)]
+
+
+def build_next_layer_circuit(
+    config: StarkConfig, inner: RecursionInput | tuple
+) -> tuple[Circuit, VerifierCircuitResult]:
+    """Build the circuit verifying proofs shaped like `inner`'s."""
+    inner_circuit, inner_pdata = (
+        (inner.circuit, inner.prover_data)
+        if isinstance(inner, RecursionInput)
+        else inner
+    )
+    airs = _airs(config, inner_circuit)
+    airs_lookups = [(a, a.lookups()) for a in airs]
+    shapes = compute_shapes(config, inner_circuit, inner_pdata)
+    vcr = build_batch_verifier_circuit(
+        config,
+        airs_lookups,
+        shapes,
+        inner_pdata.common,
+        terminal_checks=_terminal_checks(inner_circuit, inner_pdata),
+    )
+    outer_circuit = vcr.builder.build()
+    return outer_circuit, vcr
+
+
+@dataclasses.dataclass
+class NextLayerPrep:
+    """Cached next-layer circuit + offline preprocessed commitment
+    (reference NextLayerPrepCache, `recursion.rs:89`)."""
+
+    circuit: Circuit
+    vcr: VerifierCircuitResult
+    pdata: CircuitProverData
+
+
+def build_next_layer_prep(
+    config: StarkConfig, inner: RecursionInput
+) -> NextLayerPrep:
+    outer_circuit, vcr = build_next_layer_circuit(config, inner)
+    pdata = circuit_prover_data(config, outer_circuit)
+    return NextLayerPrep(outer_circuit, vcr, pdata)
+
+
+def prove_next_layer(
+    config: StarkConfig,
+    prep: NextLayerPrep,
+    inner_proof: BatchStarkProof,
+    xp=np,
+    debug_lookups: bool = False,
+) -> BatchStarkProof:
+    runner = prep.circuit.runner()
+    runner.set_public_inputs(prep.vcr.pack_public_inputs(inner_proof.batch))
+    runner.set_private_inputs(
+        prep.vcr.pack_private_inputs(inner_proof.batch)
+    )
+    traces = runner.run()
+    prover = BatchStarkProver(config)
+    return prover.prove_all_tables(
+        prep.circuit, traces, prep.pdata, xp=xp, debug_lookups=debug_lookups
+    )
+
+
+def build_and_prove_next_layer(
+    config: StarkConfig, inner: RecursionInput, xp=np
+) -> RecursionInput:
+    prep = build_next_layer_prep(config, inner)
+    proof = prove_next_layer(config, prep, inner.proof, xp=xp)
+    return RecursionInput(proof, prep.circuit, prep.pdata)

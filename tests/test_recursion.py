@@ -1,0 +1,96 @@
+"""THE milestone test: a batch-stark circuit proof recursively verified —
+build verifier circuit -> run -> prove layer -> native verify
+(SURVEY.md §7.3 minimum end-to-end slice)."""
+
+import numpy as np
+import pytest
+
+from plonky3_recursion_tpu.circuit import CircuitBuilder, WitnessConflict
+from plonky3_recursion_tpu.fields import KOALA_BEAR, ext_field
+from plonky3_recursion_tpu.prover import BatchStarkProver, circuit_prover_data
+from plonky3_recursion_tpu.recursion.recursion import (
+    RecursionInput,
+    build_and_prove_next_layer,
+    build_next_layer_prep,
+    prove_next_layer,
+)
+from plonky3_recursion_tpu.stark.fri_pcs import FriParams
+from plonky3_recursion_tpu.stark.uni import koala_bear_config
+
+E4 = ext_field(KOALA_BEAR, 4)
+
+
+def make_inner(n=8):
+    config = koala_bear_config(FriParams.testing())
+    b = CircuitBuilder(E4)
+    a = b.public_input()
+    bb = b.public_input()
+    res = b.public_input()
+    for _ in range(n):
+        a, bb = bb, b.add(a, bb)
+    b.connect(bb, res)
+    circuit = b.build()
+    pdata = circuit_prover_data(config, circuit)
+    x, y = 0, 1
+    for _ in range(n):
+        x, y = y, (x + y) % KOALA_BEAR.P
+    runner = circuit.runner()
+    runner.set_public_inputs([0, 1, y])
+    traces = runner.run()
+    prover = BatchStarkProver(config)
+    proof = prover.prove_all_tables(circuit, traces, pdata, debug_lookups=True)
+    assert prover.verify_all_tables(circuit, proof, pdata)
+    return config, RecursionInput(proof, circuit, pdata)
+
+
+@pytest.fixture(scope="module")
+def layer1():
+    config, inner = make_inner()
+    prep = build_next_layer_prep(config, inner)
+    return config, inner, prep
+
+
+def test_recursion_layer_proves_and_verifies(layer1):
+    config, inner, prep = layer1
+    proof1 = prove_next_layer(config, prep, inner.proof, debug_lookups=True)
+    prover = BatchStarkProver(config)
+    assert prover.verify_all_tables(prep.circuit, proof1, prep.pdata)
+    # the outer proof exposes the inner publics among its public values:
+    # each inner base coefficient becomes one base-embedded outer public
+    rows = [tuple(int(x) for x in r) for r in np.asarray(proof1.public_values)]
+    needle = [
+        (int(v), 0, 0, 0)
+        for v in np.asarray(inner.proof.public_values).reshape(-1)
+    ]
+    assert _contains_subsequence(rows, needle)
+
+
+def test_recursion_rejects_tampered_inner_proof(layer1):
+    config, inner, prep = layer1
+    import copy
+
+    bad = copy.deepcopy(inner.proof)
+    # tamper an opened trace value in the inner proof
+    bad.batch.trace_openings[2] = (
+        bad.batch.trace_openings[2][0] ^ 1,
+        bad.batch.trace_openings[2][1],
+    )
+    with pytest.raises((WitnessConflict, ValueError)):
+        prove_next_layer(config, prep, bad, debug_lookups=True)
+
+
+def test_recursion_rejects_tampered_inner_publics(layer1):
+    config, inner, prep = layer1
+    import copy
+
+    bad = copy.deepcopy(inner.proof)
+    bad.batch.publics[1][0] = (bad.batch.publics[1][0] + 1) % KOALA_BEAR.P
+    with pytest.raises((WitnessConflict, ValueError)):
+        prove_next_layer(config, prep, bad, debug_lookups=True)
+
+
+def _contains_subsequence(hay, needle):
+    for i in range(len(hay) - len(needle) + 1):
+        if hay[i : i + len(needle)] == needle:
+            return True
+    return False
