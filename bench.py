@@ -10,6 +10,7 @@ the reference).
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -18,7 +19,19 @@ BASELINE_MS = 42.6
 N = 10_000
 
 
+def _setup_jax_cache():
+    import jax
+
+    cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def main():
+    _setup_jax_cache()
     from plonky3_recursion_tpu.circuit import CircuitBuilder
     from plonky3_recursion_tpu.fields import KOALA_BEAR, ext_field
     from plonky3_recursion_tpu.prover import (
@@ -37,7 +50,7 @@ def main():
         a, bb = bb, b.add(a, bb)
     b.connect(bb, res)
     circuit = b.build()
-    config = koala_bear_config(FriParams.standard(124))
+    config = koala_bear_config(FriParams.standard(124), use_jit=True)
     pdata = circuit_prover_data(config, circuit)
     x, y = 0, 1
     for _ in range(N):

@@ -109,12 +109,12 @@ class Monty31:
     # ----- elementwise field ops over uint32 arrays -----
 
     def add(self, a, b, xp):
-        s = (a + b).astype(U32)  # a,b < p < 2^31 so no u32 overflow
+        s = a + b  # a,b < p < 2^31 so no u32 overflow; dtype stays u32
         return xp.where(s >= U32(self.P), s - U32(self.P), s)
 
     def sub(self, a, b, xp):
-        d = (a - b).astype(U32)  # wraps mod 2^32
-        return xp.where(a >= b, d, (d + U32(self.P)).astype(U32))
+        d = a - b  # wraps mod 2^32
+        return xp.where(a >= b, d, d + U32(self.P))
 
     def neg(self, a, xp):
         return xp.where(a == U32(0), a, (U32(self.P) - a).astype(U32))
@@ -124,43 +124,45 @@ class Monty31:
 
     @staticmethod
     def _mulhilo(a, b, xp):
-        """32x32 -> (hi, lo) unsigned product via 16-bit limbs (4 muls)."""
-        a = a.astype(U32)
-        b = b.astype(U32)
-        al = (a & U32(MASK16)).astype(U32)
-        ah = (a >> U32(16)).astype(U32)
-        bl = (b & U32(MASK16)).astype(U32)
-        bh = (b >> U32(16)).astype(U32)
-        ll = (al * bl).astype(U32)
-        lh = (al * bh).astype(U32)
-        hl = (ah * bl).astype(U32)
-        hh = (ah * bh).astype(U32)
+        """32x32 -> (hi, lo) unsigned product via 16-bit limbs (4 muls).
+
+        Inputs must already be uint32 arrays/scalars; all intermediate ops
+        preserve the dtype (no astype copies — they dominated host time).
+        """
+        al = a & U32(MASK16)
+        ah = a >> U32(16)
+        bl = b & U32(MASK16)
+        bh = b >> U32(16)
+        ll = al * bl
+        lh = al * bh
+        hl = ah * bl
+        hh = ah * bh
         # carry chain for the middle 32 bits
-        mid = ((ll >> U32(16)) + (lh & U32(MASK16)) + (hl & U32(MASK16))).astype(U32)
-        lo = (a * b).astype(U32)
-        hi = (hh + (lh >> U32(16)) + (hl >> U32(16)) + (mid >> U32(16))).astype(U32)
+        mid = (ll >> U32(16)) + (lh & U32(MASK16)) + (hl & U32(MASK16))
+        lo = a * b
+        hi = hh + (lh >> U32(16)) + (hl >> U32(16)) + (mid >> U32(16))
         return hi, lo
 
     def monty_mul(self, a, b, xp):
         """(a * b * R^-1) mod p, result in [0, p)."""
         hi, lo = self._mulhilo(a, b, xp)
-        m = (lo * U32(self.NP)).astype(U32)
+        m = lo * U32(self.NP)
         mp_hi, _ = self._mulhilo(m, U32(self.P), xp)
         # t + m*p == 0 mod 2^32, so low word cancels; carry iff lo != 0.
         carry = (lo != U32(0)).astype(U32)
-        u = (hi + mp_hi + carry).astype(U32)  # < 2p < 2^32
-        return xp.where(u >= U32(self.P), (u - U32(self.P)).astype(U32), u)
+        u = hi + mp_hi + carry  # < 2p < 2^32
+        return xp.where(u >= U32(self.P), u - U32(self.P), u)
 
     def to_monty(self, a, xp):
         return self.monty_mul(a, U32(self.R2), xp)
 
     def from_monty(self, a, xp):
         """monty_mul(a, 1): cheaper reduction (no initial widening mul)."""
-        m = (a * U32(self.NP)).astype(U32)
+        m = a * U32(self.NP)
         mp_hi, _ = self._mulhilo(m, U32(self.P), xp)
         carry = (a != U32(0)).astype(U32)
-        u = (mp_hi + carry).astype(U32)
-        return xp.where(u >= U32(self.P), (u - U32(self.P)).astype(U32), u)
+        u = mp_hi + carry
+        return xp.where(u >= U32(self.P), u - U32(self.P), u)
 
     def mul(self, a, b, xp):
         """Canonical a * canonical b -> canonical (2 monty_muls)."""

@@ -133,11 +133,13 @@ class TwoAdicFriPcs:
         ext: BinomialExtension,
         params: FriParams,
         mmcs: MerkleMmcs | None = None,
+        use_jit: bool = False,
     ):
         self.F = field
         self.E = ext
         self.params = params
-        self.mmcs = mmcs or MerkleMmcs(field)
+        self.use_jit = use_jit
+        self.mmcs = mmcs or MerkleMmcs(field, use_jit=use_jit)
 
     # ----- commit -----
 
@@ -146,6 +148,23 @@ class TwoAdicFriPcs:
         F = self.F
         committed = []
         ldes = []
+        if self.use_jit:
+            from ..ops.jitk import lde_commit_fn
+
+            for shift, evals in mats:
+                n, w = evals.shape
+                log_n = n.bit_length() - 1
+                assert 1 << log_n == n
+                fn = lde_commit_fn(
+                    F, log_n, w, self.params.log_blowup, int(shift)
+                )
+                coeffs, lde = fn(evals)
+                committed.append(
+                    CommittedMatrix(int(shift), log_n, w, np.asarray(coeffs))
+                )
+                ldes.append(lde)
+            root, tree = self.mmcs.commit(ldes, xp)
+            return PcsProverData(committed, tree, np.asarray(root))
         for shift, evals in mats:
             n, w = evals.shape
             log_n = n.bit_length() - 1
@@ -183,6 +202,11 @@ class TwoAdicFriPcs:
     def eval_at_point(self, mat: CommittedMatrix, zeta: np.ndarray, xp=np):
         """p(ζ) for all columns: (w, D) ext values, from coefficients."""
         F, E = self.F, self.E
+        if self.use_jit:
+            from ..ops.jitk import eval_at_point_fn
+
+            fn = eval_at_point_fn(F, E.D, mat.log_n, mat.width)
+            return np.asarray(fn(mat.coeffs, np.asarray(zeta, dtype=U32)))
         n = 1 << mat.log_n
         pows = ext_powers(E, xp.asarray(zeta), n, xp)  # (n, D)
         coeffs = xp.asarray(mat.coeffs)
@@ -242,19 +266,36 @@ class TwoAdicFriPcs:
                 x_br = xp.asarray(x_nat[_bitrev_perm(h)])
                 for z, y in zip(pts, mat_vals):
                     apow = alpha_pows[k : k + mat.width]
-                    # num_red(x) = Σ_c α^{k+c}·p_c(x); y_red = Σ_c α^{k+c}·y_c
-                    num_red = reduce_matrix_ext(F, E, lde, xp.asarray(apow), xp)
                     y_red = _reduce_vec_ext(F, E, np.asarray(y), apow)
-                    zx = E.sub(
-                        E.from_base(x_br, xp),
-                        xp.broadcast_to(xp.asarray(z), (h, E.D)),
-                        xp,
-                    )
-                    inv_zx = E.inv(zx, xp)
-                    diff = E.sub(
-                        num_red, xp.broadcast_to(xp.asarray(y_red), (h, E.D)), xp
-                    )
-                    term = E.mul(diff, inv_zx, xp)
+                    if self.use_jit:
+                        from ..ops.jitk import fri_reduce_fn
+
+                        fn = fri_reduce_fn(F, E.D, log_h, mat.width)
+                        term = np.asarray(
+                            fn(
+                                lde,
+                                np.asarray(z, dtype=U32),
+                                np.asarray(y_red, dtype=U32),
+                                np.asarray(apow, dtype=U32),
+                            )
+                        )
+                    else:
+                        # num_red(x) = Σ_c α^{k+c}·p_c(x)
+                        num_red = reduce_matrix_ext(
+                            F, E, lde, xp.asarray(apow), xp
+                        )
+                        zx = E.sub(
+                            E.from_base(x_br, xp),
+                            xp.broadcast_to(xp.asarray(z), (h, E.D)),
+                            xp,
+                        )
+                        inv_zx = E.inv(zx, xp)
+                        diff = E.sub(
+                            num_red,
+                            xp.broadcast_to(xp.asarray(y_red), (h, E.D)),
+                            xp,
+                        )
+                        term = E.mul(diff, inv_zx, xp)
                     acc[log_h] = (
                         term if log_h not in acc else E.add(acc[log_h], term, xp)
                     )
@@ -278,19 +319,27 @@ class TwoAdicFriPcs:
             if P.commit_pow_bits:
                 commit_pows.append(challenger.grind(P.commit_pow_bits))
             beta = challenger.sample_ext(E)
-            x_pair, inv_2x = _fold_consts(F, log_size, shift)
-            a = folded[0::2]
-            b = folded[1::2]
-            s = E.add(a, b, xp)
-            d = E.sub(a, b, xp)
-            inv2 = F.monty_constant(pow(2, F.P - 2, F.P))
-            even = F.monty_mul(s, xp.asarray(inv2), xp)
-            odd = E.mul_base(d, xp.asarray(inv_2x), xp)
-            folded = E.add(
-                even,
-                E.mul(odd, xp.broadcast_to(xp.asarray(beta), odd.shape), xp),
-                xp,
-            )
+            if self.use_jit:
+                from ..ops.jitk import fri_fold_fn
+
+                fn = fri_fold_fn(F, E.D, log_size, shift)
+                folded = np.asarray(fn(folded, np.asarray(beta, dtype=U32)))
+            else:
+                x_pair, inv_2x = _fold_consts(F, log_size, shift)
+                a = folded[0::2]
+                b = folded[1::2]
+                s = E.add(a, b, xp)
+                d = E.sub(a, b, xp)
+                inv2 = F.monty_constant(pow(2, F.P - 2, F.P))
+                even = F.monty_mul(s, xp.asarray(inv2), xp)
+                odd = E.mul_base(d, xp.asarray(inv_2x), xp)
+                folded = E.add(
+                    even,
+                    E.mul(
+                        odd, xp.broadcast_to(xp.asarray(beta), odd.shape), xp
+                    ),
+                    xp,
+                )
             shift = shift * shift % F.P
             log_size -= 1
             if log_size in acc:

@@ -47,9 +47,15 @@ class MerkleTree:
 
 
 class MerkleMmcs:
-    def __init__(self, field: Monty31, params: Poseidon2Params | None = None):
+    def __init__(
+        self,
+        field: Monty31,
+        params: Poseidon2Params | None = None,
+        use_jit: bool = False,
+    ):
         self.field = field
         self.params = params or poseidon2_params(field, 16)
+        self.use_jit = use_jit
 
     def _rows_digest(self, mats_at_h: list, xp) -> np.ndarray:
         rows = xp.concatenate([m for m in mats_at_h], axis=1)
@@ -61,6 +67,16 @@ class MerkleMmcs:
         heights = [m.shape[0] for m in matrices]
         for h in heights:
             assert h & (h - 1) == 0, "heights must be powers of two"
+        if self.use_jit:
+            from ..ops.jitk import merkle_commit_fn
+
+            shapes = tuple((m.shape[0], m.shape[1]) for m in matrices)
+            fn = merkle_commit_fn(self.field, shapes)
+            layers = [np.asarray(l) for l in fn(*matrices)]
+            tree = MerkleTree(
+                matrices=[np.asarray(m) for m in matrices], layers=layers
+            )
+            return np.asarray(layers[-1][0]), tree
         by_height: dict[int, list] = {}
         for m in matrices:
             by_height.setdefault(m.shape[0], []).append(m)

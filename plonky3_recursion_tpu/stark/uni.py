@@ -49,21 +49,33 @@ class StarkConfig:
         return DuplexChallenger(self.field)
 
 
-def koala_bear_config(params: FriParams | None = None) -> StarkConfig:
+def koala_bear_config(
+    params: FriParams | None = None, use_jit: bool = False
+) -> StarkConfig:
     from ..fields import KOALA_BEAR, ext_field
 
     E = ext_field(KOALA_BEAR, 4)
     return StarkConfig(
-        KOALA_BEAR, E, TwoAdicFriPcs(KOALA_BEAR, E, params or FriParams.testing())
+        KOALA_BEAR,
+        E,
+        TwoAdicFriPcs(
+            KOALA_BEAR, E, params or FriParams.testing(), use_jit=use_jit
+        ),
     )
 
 
-def baby_bear_config(params: FriParams | None = None) -> StarkConfig:
+def baby_bear_config(
+    params: FriParams | None = None, use_jit: bool = False
+) -> StarkConfig:
     from ..fields import BABY_BEAR, ext_field
 
     E = ext_field(BABY_BEAR, 4)
     return StarkConfig(
-        BABY_BEAR, E, TwoAdicFriPcs(BABY_BEAR, E, params or FriParams.testing())
+        BABY_BEAR,
+        E,
+        TwoAdicFriPcs(
+            BABY_BEAR, E, params or FriParams.testing(), use_jit=use_jit
+        ),
     )
 
 
