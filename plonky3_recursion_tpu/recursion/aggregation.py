@@ -1,0 +1,115 @@
+"""2-to-1 proof aggregation: one circuit verifying two proofs.
+
+TPU-native equivalent of the reference's aggregation API
+(`prove_aggregation_layer` / `build_and_prove_aggregation_layer` /
+`AggregationPrepCache`, `recursion/src/recursion.rs:656-996`;
+SURVEY.md §2.4): both children's verifier circuits are lowered into ONE
+CircuitBuilder (sharing the Poseidon2 NPO and its table), producing a
+single proof of "both child proofs verify".  Chained up a binary tree this
+gives the reference's scaling story (`book/src/advanced_topics/
+scaling.md`): leaves are embarrassingly parallel across hosts, every level
+halves the proof count.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..circuit.builder import CircuitBuilder
+from ..circuit.compile import Circuit
+from ..prover.batch_prover import (
+    BatchStarkProof,
+    BatchStarkProver,
+    CircuitProverData,
+    _airs,
+    circuit_prover_data,
+)
+from ..stark.uni import StarkConfig
+from .batch_verifier import build_batch_verifier_circuit
+from .recursion import RecursionInput, _terminal_checks, compute_shapes
+
+
+@dataclasses.dataclass
+class AggregationPrep:
+    circuit: Circuit
+    vcr_left: object
+    vcr_right: object
+    pdata: CircuitProverData
+
+    def fingerprint(self) -> tuple:
+        """Reference AggregationCircuitFingerprint analog
+        (`recursion.rs:73-93`)."""
+        c = self.circuit
+        return (
+            c.witness_count,
+            len(c.public_rows),
+            len(c.external_private_rows),
+            len(c.alu_rows),
+            len(c.npo_calls),
+        )
+
+
+def build_aggregation_circuit(
+    config: StarkConfig, left: RecursionInput, right: RecursionInput
+) -> AggregationPrep:
+    from ..prover.poseidon2_table import koala_bear_poseidon2_npo
+
+    builder = CircuitBuilder(config.ext)
+    npo = koala_bear_poseidon2_npo()
+    builder.enable_op(npo)
+    vcrs = []
+    for child in (left, right):
+        airs = _airs(config, child.circuit)
+        vcrs.append(
+            build_batch_verifier_circuit(
+                config,
+                [(a, a.lookups()) for a in airs],
+                compute_shapes(config, child.circuit, child.prover_data),
+                child.prover_data.common,
+                builder=builder,
+                npo_type_id=npo.type_id,
+                terminal_checks=_terminal_checks(
+                    child.circuit, child.prover_data
+                ),
+            )
+        )
+    circuit = builder.build()
+    pdata = circuit_prover_data(config, circuit)
+    return AggregationPrep(circuit, vcrs[0], vcrs[1], pdata)
+
+
+def prove_aggregation_layer(
+    config: StarkConfig,
+    prep: AggregationPrep,
+    left_proof: BatchStarkProof,
+    right_proof: BatchStarkProof,
+    xp=np,
+    debug_lookups: bool = False,
+) -> BatchStarkProof:
+    runner = prep.circuit.runner()
+    runner.set_public_inputs(
+        prep.vcr_left.pack_public_inputs(left_proof.batch)
+        + prep.vcr_right.pack_public_inputs(right_proof.batch)
+    )
+    runner.set_private_inputs(
+        prep.vcr_left.pack_private_inputs(left_proof.batch)
+        + prep.vcr_right.pack_private_inputs(right_proof.batch)
+    )
+    traces = runner.run()
+    prover = BatchStarkProver(config)
+    return prover.prove_all_tables(
+        prep.circuit, traces, prep.pdata, xp=xp, debug_lookups=debug_lookups
+    )
+
+
+def build_and_prove_aggregation_layer(
+    config: StarkConfig,
+    left: RecursionInput,
+    right: RecursionInput,
+    xp=np,
+) -> RecursionInput:
+    prep = build_aggregation_circuit(config, left, right)
+    proof = prove_aggregation_layer(config, prep, left.proof, right.proof, xp=xp)
+    return RecursionInput(proof, prep.circuit, prep.pdata)
