@@ -1,0 +1,203 @@
+"""Proof serialization + post-deserialization validation.
+
+TPU-native equivalent of the reference's serde-everything proofs with
+`BatchStarkProof::validate()` (`circuit-prover/src/batch_stark_prover.rs:
+610-670`; SURVEY.md §5 checkpoint/resume): recursion state is exactly
+(proof bytes, prover data), so proofs must round-trip through a stable
+binary format and be shape-checked on the way in.
+
+Format: a tiny self-describing tagged tree — ints, u32 ndarrays
+(shape + raw little-endian data), lists, tuples, None — enough for every
+proof dataclass without pickling code objects.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import struct
+
+import numpy as np
+
+from ..stark.batch import BatchProof, InstanceShape
+from ..stark.fri_pcs import FriProof, QueryProof
+
+_T_INT = 0
+_T_ARR = 1
+_T_LIST = 2
+_T_TUPLE = 3
+_T_NONE = 4
+
+
+def _pack(obj, out: bytearray):
+    if obj is None:
+        out.append(_T_NONE)
+    elif isinstance(obj, (int, np.integer)):
+        out.append(_T_INT)
+        out += struct.pack("<q", int(obj))
+    elif isinstance(obj, np.ndarray):
+        arr = np.ascontiguousarray(obj, dtype=np.uint32)
+        out.append(_T_ARR)
+        out.append(arr.ndim)
+        for s in arr.shape:
+            out += struct.pack("<I", s)
+        out += arr.tobytes()
+    elif isinstance(obj, (list, tuple)):
+        out.append(_T_LIST if isinstance(obj, list) else _T_TUPLE)
+        out += struct.pack("<I", len(obj))
+        for x in obj:
+            _pack(x, out)
+    else:
+        raise TypeError(f"unserializable {type(obj)}")
+
+
+def _unpack(buf: memoryview, pos: int):
+    tag = buf[pos]
+    pos += 1
+    if tag == _T_NONE:
+        return None, pos
+    if tag == _T_INT:
+        (v,) = struct.unpack_from("<q", buf, pos)
+        return int(v), pos + 8
+    if tag == _T_ARR:
+        ndim = buf[pos]
+        pos += 1
+        shape = []
+        for _ in range(ndim):
+            (s,) = struct.unpack_from("<I", buf, pos)
+            shape.append(s)
+            pos += 4
+        count = int(np.prod(shape)) if shape else 1
+        arr = np.frombuffer(buf, dtype="<u4", count=count, offset=pos).reshape(
+            shape
+        )
+        return arr.copy(), pos + 4 * count
+    if tag in (_T_LIST, _T_TUPLE):
+        (n,) = struct.unpack_from("<I", buf, pos)
+        pos += 4
+        items = []
+        for _ in range(n):
+            v, pos = _unpack(buf, pos)
+            items.append(v)
+        return (items if tag == _T_LIST else tuple(items)), pos
+    raise ValueError(f"bad tag {tag}")
+
+
+def _shape_tree(s: InstanceShape):
+    return [
+        s.log_n,
+        s.width_main,
+        s.width_prep,
+        s.num_publics,
+        s.num_perm_cols,
+        s.log_quotient_degree,
+    ]
+
+
+def batch_proof_to_bytes(proof: BatchProof) -> bytes:
+    tree = [
+        [_shape_tree(s) for s in proof.shapes],
+        np.asarray(proof.trace_commit),
+        None if proof.perm_commit is None else np.asarray(proof.perm_commit),
+        np.asarray(proof.quotient_commit),
+        [[np.asarray(a), np.asarray(b)] for a, b in proof.trace_openings],
+        [[i, np.asarray(a), np.asarray(b)] for i, a, b in proof.prep_openings],
+        [[i, np.asarray(a), np.asarray(b)] for i, a, b in proof.perm_openings],
+        [[np.asarray(c) for c in chunks] for chunks in proof.quotient_chunks],
+        [[i, np.asarray(t)] for i, t in proof.lookup_terminals],
+        [[int(x) for x in ps] for ps in proof.publics],
+        [
+            [np.asarray(d) for d in proof.fri.commit_digests],
+            [int(w) for w in proof.fri.commit_pow_witnesses],
+            np.asarray(proof.fri.final_coeffs),
+            int(proof.fri.pow_witness),
+            [
+                [
+                    [
+                        [[np.asarray(r) for r in rows], [np.asarray(s) for s in sibs]]
+                        for rows, sibs in qp.input_openings
+                    ],
+                    [
+                        [np.asarray(row), [np.asarray(s) for s in sibs]]
+                        for row, sibs in qp.commit_steps
+                    ],
+                ]
+                for qp in proof.fri.query_proofs
+            ],
+        ],
+    ]
+    out = bytearray(b"P3TB\x01")
+    _pack(tree, out)
+    return bytes(out)
+
+
+def batch_proof_from_bytes(data: bytes) -> BatchProof:
+    assert data[:5] == b"P3TB\x01", "bad proof magic/version"
+    tree, _pos = _unpack(memoryview(data), 5)
+    (
+        shapes_t,
+        trace_commit,
+        perm_commit,
+        quotient_commit,
+        trace_o,
+        prep_o,
+        perm_o,
+        q_chunks,
+        terminals,
+        publics,
+        fri_t,
+    ) = tree
+    shapes = [InstanceShape(*s) for s in shapes_t]
+    fri = FriProof(
+        commit_digests=fri_t[0],
+        commit_pow_witnesses=fri_t[1],
+        final_coeffs=fri_t[2],
+        pow_witness=fri_t[3],
+        query_proofs=[
+            QueryProof(
+                input_openings=[(rows, sibs) for rows, sibs in q[0]],
+                commit_steps=[(row, sibs) for row, sibs in q[1]],
+            )
+            for q in fri_t[4]
+        ],
+    )
+    proof = BatchProof(
+        shapes=shapes,
+        trace_commit=trace_commit,
+        perm_commit=perm_commit,
+        quotient_commit=quotient_commit,
+        trace_openings=[(a, b) for a, b in trace_o],
+        prep_openings=[(i, a, b) for i, a, b in prep_o],
+        perm_openings=[(i, a, b) for i, a, b in perm_o],
+        quotient_chunks=q_chunks,
+        lookup_terminals=[(i, t) for i, t in terminals],
+        publics=publics,
+        fri=fri,
+    )
+    validate_batch_proof(proof)
+    return proof
+
+
+def validate_batch_proof(proof: BatchProof):
+    """Structural shape checks before any use (reference `validate()`)."""
+    d = None
+    for i, (a, b) in enumerate(proof.trace_openings):
+        s = proof.shapes[i]
+        a, b = np.asarray(a), np.asarray(b)
+        if d is None:
+            d = a.shape[1]
+        for arr in (a, b):
+            if arr.shape != (s.width_main, d):
+                raise ValueError(f"trace opening {i} shape {arr.shape}")
+    for i, s in enumerate(proof.shapes):
+        chunks = proof.quotient_chunks[i]
+        if len(chunks) != 1 << s.log_quotient_degree:
+            raise ValueError(f"instance {i}: wrong quotient chunk count")
+        for c in chunks:
+            if np.asarray(c).shape != (d, d):
+                raise ValueError(f"instance {i}: chunk shape")
+    for arr in (proof.trace_commit, proof.quotient_commit):
+        if np.asarray(arr).shape != (8,):
+            raise ValueError("bad commitment shape")
+    if np.any(np.asarray(proof.fri.final_coeffs) >= (1 << 31)):
+        raise ValueError("final coeffs out of field range")
+    return True
