@@ -1,0 +1,156 @@
+"""ctypes loader for the C++ scalar reference library.
+
+Builds `libp3native.so` with g++ on first use (cached next to the source)
+and exposes thin Python wrappers mirroring the pure-python scalar paths —
+the two implementations cross-check each other in tests (golden vectors,
+SURVEY.md §4 pyramid level 1).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+from ..fields.monty31 import Monty31, U32
+from ..ops.poseidon2 import Poseidon2Params
+
+_DIR = os.path.dirname(__file__)
+_SO = os.path.join(_DIR, "libp3native.so")
+_SRC = os.path.join(_DIR, "p3_native.cpp")
+_lib = None
+
+
+def _build():
+    subprocess.run(
+        [
+            "g++",
+            "-O2",
+            "-shared",
+            "-fPIC",
+            "-std=c++17",
+            _SRC,
+            "-o",
+            _SO,
+        ],
+        check=True,
+    )
+
+
+def get_lib():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(
+        _SRC
+    ):
+        _build()
+    lib = ctypes.CDLL(_SO)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    lib.p3n_mulmod.restype = ctypes.c_uint32
+    lib.p3n_mulmod.argtypes = [ctypes.c_uint32] * 5
+    lib.p3n_mulmod_vec.argtypes = [
+        ctypes.c_uint32,
+        ctypes.c_uint32,
+        ctypes.c_uint32,
+        u32p,
+        u32p,
+        u32p,
+        ctypes.c_uint64,
+    ]
+    lib.p3n_poseidon2_new.restype = ctypes.c_void_p
+    lib.p3n_poseidon2_new.argtypes = [
+        ctypes.c_uint32,
+        ctypes.c_uint32,
+        ctypes.c_uint32,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        u32p,
+        u32p,
+        u32p,
+    ]
+    lib.p3n_poseidon2_free.argtypes = [ctypes.c_void_p]
+    lib.p3n_poseidon2_permute.argtypes = [ctypes.c_void_p, u32p, ctypes.c_uint64]
+    lib.p3n_challenger_new.restype = ctypes.c_void_p
+    lib.p3n_challenger_new.argtypes = [ctypes.c_void_p]
+    lib.p3n_challenger_free.argtypes = [ctypes.c_void_p]
+    lib.p3n_challenger_observe.argtypes = [ctypes.c_void_p, u32p, ctypes.c_uint64]
+    lib.p3n_challenger_sample.argtypes = [ctypes.c_void_p, u32p, ctypes.c_uint64]
+    lib.p3n_challenger_grind.restype = ctypes.c_uint64
+    lib.p3n_challenger_grind.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_int,
+        ctypes.c_uint64,
+    ]
+    _lib = lib
+    return lib
+
+
+def _ptr(arr: np.ndarray):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
+
+
+def native_mulmod_vec(field: Monty31, a: np.ndarray, b: np.ndarray):
+    lib = get_lib()
+    a = np.ascontiguousarray(a, dtype=U32)
+    b = np.ascontiguousarray(b, dtype=U32)
+    out = np.zeros_like(a)
+    lib.p3n_mulmod_vec(
+        field.P, field.NP, field.R2, _ptr(a), _ptr(b), _ptr(out), a.size
+    )
+    return out
+
+
+class NativePoseidon2:
+    def __init__(self, params: Poseidon2Params):
+        lib = get_lib()
+        F = params.field
+        rc_ext = np.ascontiguousarray(params.rc_ext, dtype=U32)
+        rc_int = np.ascontiguousarray(params.rc_int, dtype=U32)
+        diag = np.ascontiguousarray(params.diag, dtype=U32)
+        self._keep = (rc_ext, rc_int, diag)
+        self.handle = lib.p3n_poseidon2_new(
+            F.P,
+            F.NP,
+            F.R2,
+            params.width,
+            F.sbox_degree,
+            params.full_rounds,
+            params.partial_rounds,
+            _ptr(rc_ext),
+            _ptr(rc_int),
+            _ptr(diag),
+        )
+        self.width = params.width
+
+    def permute(self, states: np.ndarray) -> np.ndarray:
+        out = np.ascontiguousarray(states, dtype=U32).copy()
+        flat = out.reshape(-1, self.width)
+        get_lib().p3n_poseidon2_permute(self.handle, _ptr(flat), flat.shape[0])
+        return out
+
+
+class NativeChallenger:
+    def __init__(self, perm: NativePoseidon2):
+        self._perm = perm
+        self.handle = get_lib().p3n_challenger_new(perm.handle)
+
+    def observe_slice(self, vals):
+        vals = np.ascontiguousarray(np.asarray(vals).reshape(-1), dtype=U32)
+        get_lib().p3n_challenger_observe(self.handle, _ptr(vals), vals.size)
+
+    def sample_vec(self, n: int) -> np.ndarray:
+        out = np.zeros(n, dtype=U32)
+        get_lib().p3n_challenger_sample(self.handle, _ptr(out), n)
+        return out
+
+    def grind(self, bits: int) -> int:
+        w = get_lib().p3n_challenger_grind(self.handle, bits, 0)
+        self.observe_slice([w])
+        s = self.sample_vec(1)[0]
+        assert (int(s) & ((1 << bits) - 1)) == 0
+        return int(w)
