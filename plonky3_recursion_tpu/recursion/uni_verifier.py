@@ -1,0 +1,185 @@
+"""Uni-stark verifier circuit: single-AIR proofs verified recursively.
+
+TPU-native equivalent of the reference's `verify_p3_uni_proof_circuit`
+(`recursion/src/verifier/stark.rs:61`; SURVEY.md §2.4) — the recursion
+entry for uni-stark workloads (e.g. the Keccak base proof in
+`recursive_keccak`).  Mirrors `stark.uni.verify` exactly: transcript
+(log_n, trace commitment, publics, α, quotient commitment, ζ), constraint
+fold at ζ via the symbolic compiler, quotient recomposition, then the same
+in-circuit FRI verification as the batch path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..circuit.builder import CircuitBuilder
+from ..stark.symbolic import Air
+from ..stark.uni import StarkConfig, UniProof
+from .batch_verifier import VerifierCircuitResult, _Alloc, _bind, _verify_fri_circuit
+from .challenger_circuit import CircuitChallenger
+from .mmcs_circuit import MmcsGadget
+from .symbolic_compiler import fold_constraints_circuit
+
+
+def build_uni_verifier_circuit(
+    config: StarkConfig,
+    air: Air,
+    log_n: int,
+    builder: CircuitBuilder | None = None,
+    npo_type_id: str | None = None,
+) -> VerifierCircuitResult:
+    F, E = config.field, config.ext
+    P = config.pcs.params
+    p = F.P
+    d = E.D
+    if builder is None:
+        builder = CircuitBuilder(E)
+        from ..prover.poseidon2_table import koala_bear_poseidon2_npo
+
+        npo = koala_bear_poseidon2_npo()
+        builder.enable_op(npo)
+        npo_type_id = npo.type_id
+    b = builder
+    al = _Alloc(b)
+    ch = CircuitChallenger(b, npo_type_id)
+    mmcs = MmcsGadget(b, npo_type_id)
+
+    ab = air.build()
+    from ..stark.symbolic import log_quotient_degree
+
+    lq = log_quotient_degree(ab.constraints)
+    qdeg = 1 << lq
+    n = 1 << log_n
+
+    ch.observe(b.const(log_n))
+    trace_commit = al.public_vec(8, lambda pf, i: int(pf.trace_commit[i]))
+    ch.observe_slice(trace_commit)
+    publics = al.public_vec(
+        air.num_publics, lambda pf, i: int(pf.publics[i])
+    )
+    ch.observe_slice(publics)
+    alpha = ch.sample_ext()
+    quotient_commit = al.public_vec(
+        8, lambda pf, i: int(pf.quotient_commit[i])
+    )
+    ch.observe_slice(quotient_commit)
+    zeta = ch.sample_ext()
+
+    def tr_open(pf, which, c, j):
+        arr = pf.trace_local if which == 0 else pf.trace_next
+        return int(np.asarray(arr)[c, j])
+
+    trace_opens = []
+    for which in (0, 1):
+        cols = []
+        for c in range(air.width_main):
+            coeffs = al.private_vec(d, _bind(tr_open, which, c))
+            cols.append(b.recompose_base_coeffs_to_ext(coeffs))
+        trace_opens.append(cols)
+
+    def q_open(pf, ci, c, j):
+        return int(np.asarray(pf.quotient_chunks[ci])[c, j])
+
+    q_opens = []
+    for ci in range(qdeg):
+        cols = []
+        for c in range(d):
+            coeffs = al.private_vec(d, _bind(q_open, ci, c))
+            cols.append(b.recompose_base_coeffs_to_ext(coeffs))
+        q_opens.append(cols)
+
+    # constraint check at ζ
+    g_inv = b.const(pow(F.two_adic_generator(log_n), p - 2, p))
+    zeta_n = b.exp_power_of_2(zeta, log_n)
+    z_h = b.sub(zeta_n, b.one())
+    first = b.div(z_h, b.sub(zeta, b.one()))
+    transition = b.sub(zeta, g_inv)
+    last = b.div(z_h, transition)
+    bindings = {
+        "main": {0: trace_opens[0], 1: trace_opens[1]},
+        "preprocessed": {0: [], 1: []},
+        "perm": {0: [], 1: []},
+        "publics": publics,
+        "challenges": [],
+        "terminals": [],
+        "sels": {"first": first, "last": last, "transition": transition},
+    }
+    folded = fold_constraints_circuit(b, ab.constraints, bindings, alpha)
+    basis = [
+        b.const(tuple(1 if j == k else 0 for j in range(d))) for k in range(d)
+    ]
+    wq = F.two_adic_generator(log_n + lq)
+    u_n = pow(wq, n, p)
+    s_n = pow(int(F.generator), n, p)
+    q_zeta = b.zero
+    for ci in range(qdeg):
+        q_i = b.zero
+        for k in range(d):
+            q_i = b.mul_add(q_opens[ci][k], basis[k], q_i)
+        w_t = b.one()
+        den = 1
+        for j in range(qdeg):
+            if j == ci:
+                continue
+            cj = s_n * pow(u_n, j, p) % p
+            w_t = b.mul(w_t, b.sub(zeta_n, b.const(cj)))
+            den = den * (s_n * (pow(u_n, ci, p) - pow(u_n, j, p)) % p) % p
+        w_t = b.mul(w_t, b.const(pow(den, p - 2, p)))
+        q_zeta = b.mul_add(q_i, w_t, q_zeta)
+    b.connect(folded, b.mul(q_zeta, z_h))
+
+    zg = b.mul(zeta, b.const(F.two_adic_generator(log_n)))
+    rounds = [
+        (
+            "trace",
+            trace_commit,
+            [(log_n, [(zeta, trace_opens[0]), (zg, trace_opens[1])])],
+        ),
+        (
+            "quotient",
+            quotient_commit,
+            [(log_n, [(zeta, q_opens[ci])]) for ci in range(qdeg)],
+        ),
+    ]
+    _verify_fri_circuit(config, b, al, ch, mmcs, rounds, P)
+    return VerifierCircuitResult(b, al.pub, al.priv)
+
+
+def build_uni_recursion_layer(config: StarkConfig, air: Air, log_n: int):
+    """Circuit proving 'a uni-stark proof of `air` at height 2^log_n
+    verifies' — returns (compiled circuit, VerifierCircuitResult)."""
+    vcr = build_uni_verifier_circuit(config, air, log_n)
+    return vcr.builder.build(), vcr
+
+
+class _UniProofView:
+    """Adapter: UniProof exposing `publics` for the extractor closures."""
+
+    def __init__(self, proof: UniProof, publics):
+        self.trace_commit = proof.trace_commit
+        self.quotient_commit = proof.quotient_commit
+        self.trace_local = proof.trace_local
+        self.trace_next = proof.trace_next
+        self.quotient_chunks = proof.quotient_chunks
+        self.fri = proof.fri
+        self.publics = list(publics)
+
+
+def prove_uni_recursively(
+    config: StarkConfig,
+    circuit,
+    vcr: VerifierCircuitResult,
+    pdata,
+    proof: UniProof,
+    publics,
+    xp=np,
+):
+    from ..prover.batch_prover import BatchStarkProver
+
+    view = _UniProofView(proof, publics)
+    runner = circuit.runner()
+    runner.set_public_inputs(vcr.pack_public_inputs(view))
+    runner.set_private_inputs(vcr.pack_private_inputs(view))
+    traces = runner.run()
+    return BatchStarkProver(config).prove_all_tables(circuit, traces, pdata)
