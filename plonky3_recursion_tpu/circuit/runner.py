@@ -66,15 +66,18 @@ class CircuitRunner:
         groups: dict[tuple, list] = {}
         for r in circuit.alu_rows:
             groups.setdefault((r.level, r.kind, r.solve), []).append(r)
-        self.groups = {
-            key: (
-                np.asarray([r.a for r in rows], dtype=np.int64),
-                np.asarray([r.b for r in rows], dtype=np.int64),
-                np.asarray([r.c for r in rows], dtype=np.int64),
-                np.asarray([r.out for r in rows], dtype=np.int64),
+        self.groups_by_level: dict[int, list] = {}
+        for (lvl, kind, solve), rows in groups.items():
+            self.groups_by_level.setdefault(lvl, []).append(
+                (
+                    kind,
+                    solve,
+                    np.asarray([r.a for r in rows], dtype=np.int64),
+                    np.asarray([r.b for r in rows], dtype=np.int64),
+                    np.asarray([r.c for r in rows], dtype=np.int64),
+                    np.asarray([r.out for r in rows], dtype=np.int64),
+                )
             )
-            for key, rows in groups.items()
-        }
         self.hints_by_level: dict[int, list] = {}
         for h in circuit.hint_ops:
             self.hints_by_level.setdefault(h.level, []).append(h)
@@ -145,7 +148,7 @@ class CircuitRunner:
             if not self.defined[wid]:
                 raise MissingInput("public inputs not set")
         levels = sorted(
-            {lvl for lvl, _k, _s in self.groups}
+            set(self.groups_by_level)
             | set(self.hints_by_level)
             | set(self.npos_by_level)
         )
@@ -155,9 +158,9 @@ class CircuitRunner:
                 outs = h.fn(ins)
                 for w, v in zip(h.outputs, outs):
                     self.set_witness(w, v)
-            for (glvl, kind, solve), (a, b, cc, out) in self.groups.items():
-                if glvl != lvl:
-                    continue
+            for kind, solve, a, b, cc, out in self.groups_by_level.get(
+                lvl, []
+            ):
                 va = self.wit[a]
                 vb = self.wit[b]
                 vc = self.wit[cc]

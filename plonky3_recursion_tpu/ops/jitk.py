@@ -78,6 +78,75 @@ def lde_commit_fn(
 
 
 @functools.lru_cache(maxsize=None)
+def round_commit_fn(field: Monty31, sig: tuple, log_blowup: int):
+    """Fused whole-round commit: every matrix's interpolation + LDE + the
+    full Merkle tree in ONE compiled graph (one device round-trip).
+
+    sig: tuple of (shift, log_n, width).  fn(*evals) ->
+    (coeffs tuple, ldes tuple (bitrev), layers tuple)."""
+    p = field.P
+    params = poseidon2_params(field, 16)
+    pre = []
+    for shift, log_n, w in sig:
+        n = 1 << log_n
+        unscale = (
+            None
+            if shift == 1
+            else _power_table(field, pow(int(shift), p - 2, p), n)
+        )
+        gpow = _power_table(field, int(field.generator), n)
+        pre.append((shift, log_n, w, unscale, gpow))
+
+    def fn(*mats):
+        coeffs_out = []
+        ldes = []
+        for (shift, log_n, w, unscale, gpow), evals in zip(pre, mats):
+            n = 1 << log_n
+            m = n << log_blowup
+            coeffs = intt(field, evals, jnp)
+            if unscale is not None:
+                coeffs = field.monty_mul(
+                    coeffs, jnp.asarray(unscale)[:, None], jnp
+                )
+            scaled = field.monty_mul(coeffs, jnp.asarray(gpow)[:, None], jnp)
+            lde = ntt(field, jnp.pad(scaled, [(0, m - n), (0, 0)]), jnp)
+            lde = bit_reverse_rows(lde, jnp)
+            coeffs_out.append(coeffs)
+            ldes.append(lde)
+        # merkle over the LDEs (mixed heights)
+        by_height: dict[int, list] = {}
+        for l in ldes:
+            by_height.setdefault(l.shape[0], []).append(l)
+
+        def rows_digest(h):
+            rows = jnp.concatenate(by_height[h], axis=1)
+            return sponge_hash(params, rows, 8, 8, jnp)
+
+        h = max(by_height)
+        layer = rows_digest(h)
+        layers = [layer]
+        while h > 1:
+            h //= 2
+            layer = compress_pair(params, layer[0::2], layer[1::2], jnp)
+            if h in by_height:
+                layer = compress_pair(params, layer, rows_digest(h), jnp)
+            layers.append(layer)
+        return tuple(coeffs_out), tuple(ldes), tuple(layers)
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=None)
+def gather_rows_fn(n_rows: int, width: int, n_idx: int):
+    """fn(mat (n, w), idx (nq,)) -> (nq, w) — one batched device gather."""
+
+    def fn(mat, idx):
+        return mat[idx]
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=None)
 def eval_at_point_fn(field: Monty31, d: int, log_n: int, width: int):
     """fn(coeffs (n, w), zeta (D,)) -> (w, D) p(ζ) per column."""
     from ..fields.extension import ext_field

@@ -149,22 +149,20 @@ class TwoAdicFriPcs:
         committed = []
         ldes = []
         if self.use_jit:
-            from ..ops.jitk import lde_commit_fn
+            from ..ops.jitk import round_commit_fn
 
-            for shift, evals in mats:
-                n, w = evals.shape
-                log_n = n.bit_length() - 1
-                assert 1 << log_n == n
-                fn = lde_commit_fn(
-                    F, log_n, w, self.params.log_blowup, int(shift)
-                )
-                coeffs, lde = fn(evals)
-                committed.append(
-                    CommittedMatrix(int(shift), log_n, w, np.asarray(coeffs))
-                )
-                ldes.append(lde)
-            root, tree = self.mmcs.commit(ldes, xp)
-            return PcsProverData(committed, tree, np.asarray(root))
+            sig = tuple(
+                (int(shift), evals.shape[0].bit_length() - 1, evals.shape[1])
+                for shift, evals in mats
+            )
+            fn = round_commit_fn(F, sig, self.params.log_blowup)
+            coeffs_t, ldes_t, layers_t = fn(*[e for _s, e in mats])
+            for (shift, log_n, w), coeffs in zip(sig, coeffs_t):
+                # coeffs stay device-resident; eval_at_point consumes them
+                committed.append(CommittedMatrix(shift, log_n, w, coeffs))
+            layers = [np.asarray(l) for l in layers_t]
+            tree = MerkleTree(matrices=list(ldes_t), layers=layers)
+            return PcsProverData(committed, tree, np.asarray(layers[-1][0]))
         for shift, evals in mats:
             n, w = evals.shape
             log_n = n.bit_length() - 1
@@ -230,6 +228,8 @@ class TwoAdicFriPcs:
         Returns (opened_values, FriProof) where
         opened_values[round][mat][point] = (w, D) canonical.
         """
+        if self.use_jit:
+            return self._open_jit(rounds, challenger)
         F, E, P = self.F, self.E, self.params
         # 1. claimed evaluations, observed in canonical order
         opened: list[list[list[np.ndarray]]] = []
@@ -381,6 +381,169 @@ class TwoAdicFriPcs:
                 row_idx = idx >> 1
                 rows, sibs = self.mmcs.open_batch(row_idx, tree)
                 commit_steps.append((rows[0], sibs))
+                idx >>= 1
+            query_proofs.append(QueryProof(input_openings, commit_steps))
+        proof = FriProof(
+            commit_digests,
+            commit_pows,
+            final_coeffs,
+            pow_witness,
+            query_proofs,
+        )
+        return opened, proof
+
+    def _open_jit(self, rounds, challenger: DuplexChallenger):
+        """Device-resident open: LDEs/coeffs stay on device, one fused call
+        per reduction/fold, and query rows gathered in batches — minimizes
+        host<->device round-trips (critical through the TPU tunnel)."""
+        import jax.numpy as jnp
+
+        from ..ops.jitk import fri_fold_fn, fri_reduce_fn, gather_rows_fn
+
+        F, E, P = self.F, self.E, self.params
+        # 1. claimed evaluations (device eval, tiny downloads), observed
+        opened = []
+        for data, points in rounds:
+            round_vals = []
+            for mat, pts in zip(data.matrices, points):
+                round_vals.append(
+                    [np.asarray(self.eval_at_point(mat, z)) for z in pts]
+                )
+            opened.append(round_vals)
+        for rv in opened:
+            for mv in rv:
+                for pv in mv:
+                    challenger.observe_slice(pv)
+        alpha = challenger.sample_ext(E)
+        total_cols = sum(
+            mat.width * len(pts)
+            for data, points in rounds
+            for mat, pts in zip(data.matrices, points)
+        )
+        alpha_pows = np.asarray(ext_powers(E, np.asarray(alpha), total_cols, np))
+        # 3. per-height reduced openings, accumulated on device
+        acc: dict[int, object] = {}
+        k = 0
+        for (data, points), round_vals in zip(rounds, opened):
+            for mi, (mat, pts, mat_vals) in enumerate(
+                zip(data.matrices, points, round_vals)
+            ):
+                log_h = mat.log_n + P.log_blowup
+                lde = data.tree.matrices[mi]  # device-resident
+                for z, y in zip(pts, mat_vals):
+                    apow = alpha_pows[k : k + mat.width]
+                    y_red = _reduce_vec_ext(F, E, np.asarray(y), apow)
+                    fn = fri_reduce_fn(F, E.D, log_h, mat.width)
+                    term = fn(
+                        lde,
+                        np.asarray(z, dtype=U32),
+                        np.asarray(y_red, dtype=U32),
+                        np.asarray(apow, dtype=U32),
+                    )
+                    acc[log_h] = (
+                        term
+                        if log_h not in acc
+                        else E.add(acc[log_h], term, jnp)
+                    )
+                    k += mat.width
+        # 4. commit phase (folded stays on device)
+        log_max = max(acc)
+        log_final = P.log_final_poly_len + P.log_blowup
+        folded = acc[log_max]
+        shift = F.generator
+        commit_digests = []
+        commit_trees = []
+        commit_pows = []
+        log_size = log_max
+        while log_size > log_final:
+            half = 1 << (log_size - 1)
+            pairs = folded.reshape(half, 2 * E.D)
+            root, tree = self.mmcs.commit([pairs], jnp)
+            commit_digests.append(np.asarray(root))
+            commit_trees.append(tree)
+            challenger.observe_slice(np.asarray(root))
+            if P.commit_pow_bits:
+                commit_pows.append(challenger.grind(P.commit_pow_bits))
+            beta = challenger.sample_ext(E)
+            folded = fri_fold_fn(F, E.D, log_size, int(shift))(
+                folded, np.asarray(beta, dtype=U32)
+            )
+            shift = shift * shift % F.P
+            log_size -= 1
+            if log_size in acc:
+                folded = E.add(folded, acc[log_size], jnp)
+        # final polynomial (tiny: download + host interpolation)
+        folded_np = np.asarray(folded)
+        final_evals = bit_reverse_rows(folded_np, np)
+        fc = intt(F, final_evals, np)
+        if shift != 1:
+            from ..ops.ntt import _power_table
+
+            inv_s = pow(shift, F.P - 2, F.P)
+            unscale = np.asarray(_power_table(F, inv_s, fc.shape[0]))
+            fc = F.monty_mul(fc, unscale[:, None], np)
+        final_coeffs = np.asarray(fc)[: 1 << P.log_final_poly_len]
+        assert np.all(np.asarray(fc)[1 << P.log_final_poly_len :] == 0), (
+            "FRI final poly exceeds degree bound"
+        )
+        challenger.observe_slice(final_coeffs)
+        pow_witness = (
+            challenger.grind(P.query_pow_bits) if P.query_pow_bits else 0
+        )
+        # 6. queries: sample all indices, then batch every gather
+        nq = P.num_queries
+        indices = [challenger.sample_bits(log_max) for _ in range(nq)]
+        round_log_max = [
+            max(m.log_n + P.log_blowup for m in data.matrices)
+            for data, _p in rounds
+        ]
+        # batched row gathers per (round, matrix)
+        input_rows = []  # [ri][mi] -> (nq, w) np
+        for (data, _pts), rlm in zip(rounds, round_log_max):
+            per_mat = []
+            for mi, mat in enumerate(data.matrices):
+                log_h = mat.log_n + P.log_blowup
+                scaled = np.asarray(
+                    [i >> (log_max - log_h) for i in indices], dtype=np.int32
+                )
+                dev = data.tree.matrices[mi]
+                fn = gather_rows_fn(dev.shape[0], dev.shape[1], nq)
+                per_mat.append(np.asarray(fn(dev, scaled)))
+            input_rows.append(per_mat)
+        phase_rows = []  # [ph] -> (nq, 2D) np
+        for ph, tree in enumerate(commit_trees):
+            row_idx = np.asarray(
+                [i >> (ph + 1) for i in indices], dtype=np.int32
+            )
+            dev = tree.matrices[0]
+            fn = gather_rows_fn(dev.shape[0], dev.shape[1], nq)
+            phase_rows.append(np.asarray(fn(dev, row_idx)))
+
+        def siblings_of(layers, index, levels):
+            sibs = []
+            idx = index
+            for level in range(levels):
+                sibs.append(np.asarray(layers[level][idx ^ 1]))
+                idx >>= 1
+            return sibs
+
+        query_proofs = []
+        for q, index in enumerate(indices):
+            input_openings = []
+            for ri, ((data, _pts), rlm) in enumerate(
+                zip(rounds, round_log_max)
+            ):
+                ridx = index >> (log_max - rlm)
+                opened_rows = [input_rows[ri][mi][q] for mi in range(len(data.matrices))]
+                sibs = siblings_of(data.tree.layers, ridx, rlm)
+                input_openings.append((opened_rows, sibs))
+            commit_steps = []
+            idx = index
+            for ph, tree in enumerate(commit_trees):
+                row_idx = idx >> 1
+                levels = (1 << (log_max - ph - 1)).bit_length() - 1
+                sibs = siblings_of(tree.layers, row_idx, levels)
+                commit_steps.append((phase_rows[ph][q], sibs))
                 idx >>= 1
             query_proofs.append(QueryProof(input_openings, commit_steps))
         proof = FriProof(

@@ -73,9 +73,9 @@ class MerkleMmcs:
             shapes = tuple((m.shape[0], m.shape[1]) for m in matrices)
             fn = merkle_commit_fn(self.field, shapes)
             layers = [np.asarray(l) for l in fn(*matrices)]
-            tree = MerkleTree(
-                matrices=[np.asarray(m) for m in matrices], layers=layers
-            )
+            # matrices kept as given (possibly device-resident) for
+            # batched query-row gathers later
+            tree = MerkleTree(matrices=list(matrices), layers=layers)
             return np.asarray(layers[-1][0]), tree
         by_height: dict[int, list] = {}
         for m in matrices:
