@@ -40,57 +40,53 @@ ALU_PREP_WIDTH = 12
 
 
 class ConstAir(Air):
-    num_publics = 0
-    width_prep = 2
+    """Lane-packed value-send chip: `lanes` logical rows per trace row,
+    each lane D value cols (main) + [mult, idx] (prep)."""
 
-    def __init__(self, d: int):
+    num_publics = 0
+
+    def __init__(self, d: int, lanes: int = 1):
         self.d = d
-        self.width_main = d
+        self.lanes = lanes
+        self.width_main = d * lanes
+        self.width_prep = 2 * lanes
 
     def eval(self, b):
         pass
 
     def lookups(self):
         d = self.d
-        return [
-            Lookup(
-                BUS,
-                [
-                    Interaction(
-                        [Var("preprocessed", 1, 0)]
-                        + [Var("main", j, 0) for j in range(d)],
-                        Var("preprocessed", 0, 0),
-                    )
-                ],
+        inters = []
+        for l in range(self.lanes):
+            inters.append(
+                Interaction(
+                    [Var("preprocessed", 2 * l + 1, 0)]
+                    + [Var("main", l * d + j, 0) for j in range(d)],
+                    Var("preprocessed", 2 * l, 0),
+                )
             )
-        ]
+        return [Lookup(BUS, inters)]
 
 
-class PublicAir(Air):
-    num_publics = 0
-    width_prep = 2
-
-    def __init__(self, d: int):
-        self.d = d
-        self.width_main = d
-
-    def eval(self, b):
-        pass
-
-    lookups = ConstAir.lookups
+class PublicAir(ConstAir):
+    pass
 
 
 class AluAir(Air):
     num_publics = 0
-    width_prep = ALU_PREP_WIDTH
 
-    def __init__(self, d: int, w_binomial: int):
+    def __init__(self, d: int, w_binomial: int, lanes: int = 1):
         self.d = d
         self.w = w_binomial
-        self.width_main = 4 * d
+        self.lanes = lanes
+        self.width_main = 4 * d * lanes
+        self.width_prep = ALU_PREP_WIDTH * lanes
 
-    def _slot(self, s: int):
-        return [Var("main", s * self.d + j, 0) for j in range(self.d)]
+    def _slot(self, s: int, lane: int = 0):
+        base = lane * 4 * self.d
+        return [
+            Var("main", base + s * self.d + j, 0) for j in range(self.d)
+        ]
 
     def _conv(self, a, b):
         """Binomial-extension product coefficients (degree-2 exprs)."""
@@ -112,38 +108,43 @@ class AluAir(Air):
 
     def eval(self, b):
         d = self.d
-        a = self._slot(0)
-        bb = self._slot(1)
-        c = self._slot(2)
-        out = self._slot(3)
-        sel_add = Var("preprocessed", P_SEL_ADD, 0)
-        sel_mul = Var("preprocessed", P_SEL_MUL, 0)
-        sel_muladd = Var("preprocessed", P_SEL_MULADD, 0)
-        sel_bool = Var("preprocessed", P_SEL_BOOL, 0)
-        prod = self._conv(a, bb)
-        sq = self._conv(a, a)
-        for j in range(d):
-            b.assert_zero(sel_add * (a[j] + bb[j] - out[j]))
-            b.assert_zero(sel_mul * (prod[j] - out[j]))
-            b.assert_zero(sel_muladd * (prod[j] + c[j] - out[j]))
-            b.assert_zero(sel_bool * (sq[j] - a[j]))
+        for lane in range(self.lanes):
+            pbase = lane * ALU_PREP_WIDTH
+            a = self._slot(0, lane)
+            bb = self._slot(1, lane)
+            c = self._slot(2, lane)
+            out = self._slot(3, lane)
+            sel_add = Var("preprocessed", pbase + P_SEL_ADD, 0)
+            sel_mul = Var("preprocessed", pbase + P_SEL_MUL, 0)
+            sel_muladd = Var("preprocessed", pbase + P_SEL_MULADD, 0)
+            sel_bool = Var("preprocessed", pbase + P_SEL_BOOL, 0)
+            prod = self._conv(a, bb)
+            sq = self._conv(a, a)
+            for j in range(d):
+                b.assert_zero(sel_add * (a[j] + bb[j] - out[j]))
+                b.assert_zero(sel_mul * (prod[j] - out[j]))
+                b.assert_zero(sel_muladd * (prod[j] + c[j] - out[j]))
+                b.assert_zero(sel_bool * (sq[j] - a[j]))
 
     def lookups(self):
         d = self.d
         inters = []
-        for s, (pidx, pmult) in enumerate(
-            [
-                (P_IDX_A, P_MULT_A),
-                (P_IDX_B, P_MULT_B),
-                (P_IDX_C, P_MULT_C),
-                (P_IDX_OUT, P_MULT_OUT),
-            ]
-        ):
-            inters.append(
-                Interaction(
-                    [Var("preprocessed", pidx, 0)]
-                    + [Var("main", s * d + j, 0) for j in range(d)],
-                    Var("preprocessed", pmult, 0),
+        for lane in range(self.lanes):
+            pbase = lane * ALU_PREP_WIDTH
+            mbase = lane * 4 * d
+            for s, (pidx, pmult) in enumerate(
+                [
+                    (P_IDX_A, P_MULT_A),
+                    (P_IDX_B, P_MULT_B),
+                    (P_IDX_C, P_MULT_C),
+                    (P_IDX_OUT, P_MULT_OUT),
+                ]
+            ):
+                inters.append(
+                    Interaction(
+                        [Var("preprocessed", pbase + pidx, 0)]
+                        + [Var("main", mbase + s * d + j, 0) for j in range(d)],
+                        Var("preprocessed", pbase + pmult, 0),
+                    )
                 )
-            )
         return [Lookup(BUS, inters)]

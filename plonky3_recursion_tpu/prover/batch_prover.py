@@ -59,6 +59,26 @@ def _pad_pow2(mat: np.ndarray, min_height: int) -> np.ndarray:
     return np.pad(mat, [(0, target - n)] + [(0, 0)] * (mat.ndim - 1))
 
 
+def _lane_pack(mat: np.ndarray, lanes: int, min_height: int) -> np.ndarray:
+    """(N, c) logical rows -> (ceil(N/lanes) padded pow2, lanes*c): `lanes`
+    consecutive logical rows share one trace row (reference TablePacking,
+    `circuit-prover/src/batch_stark_prover/packing.rs:10`)."""
+    n, c = mat.shape
+    rows = (n + lanes - 1) // lanes
+    padded = np.zeros((rows * lanes, c), dtype=mat.dtype)
+    padded[:n] = mat
+    return _pad_pow2(padded.reshape(rows, lanes * c), min_height)
+
+
+@dataclasses.dataclass(frozen=True)
+class TablePacking:
+    """Lane-packing config (reference `TablePacking`)."""
+
+    public_lanes: int = 1
+    alu_lanes: int = 4
+    min_trace_height: int | None = None  # derived from FRI params if None
+
+
 def _signed(field, v: int) -> int:
     return v % field.P
 
@@ -75,8 +95,11 @@ class CircuitTables:
     alu_prep: np.ndarray
 
 
-def build_preprocessed(circuit: Circuit, min_height: int = 4):
+def build_preprocessed(
+    circuit: Circuit, min_height: int = 4, packing: TablePacking | None = None
+):
     """Static (trace-independent) preprocessed matrices."""
+    packing = packing or TablePacking()
     F = circuit.ext.base
     d = circuit.ext.D
     # const
@@ -100,15 +123,21 @@ def build_preprocessed(circuit: Circuit, min_height: int = 4):
         ap[i, P_SEL_ADD + _KIND_TO_SEL[r.kind]] = 1
     preps = [
         _pad_pow2(cp, min_height),
-        _pad_pow2(pp, min_height),
-        _pad_pow2(ap, min_height),
+        _lane_pack(pp, packing.public_lanes, min_height),
+        _lane_pack(ap, packing.alu_lanes, min_height),
     ]
     for plugin, calls in _npo_groups(circuit):
         preps.append(plugin.build_prep(calls, min_height))
     return tuple(preps)
 
 
-def build_main_tables(circuit: Circuit, traces, min_height: int = 4):
+def build_main_tables(
+    circuit: Circuit,
+    traces,
+    min_height: int = 4,
+    packing: TablePacking | None = None,
+):
+    packing = packing or TablePacking()
     d = circuit.ext.D
     wit = traces.witness
     cm = np.zeros((len(circuit.const_rows), d), dtype=U32)
@@ -125,8 +154,8 @@ def build_main_tables(circuit: Circuit, traces, min_height: int = 4):
         am = np.zeros((0, 4 * d), dtype=U32)
     mains = [
         _pad_pow2(cm, min_height),
-        _pad_pow2(pm, min_height),
-        _pad_pow2(am, min_height),
+        _lane_pack(pm, packing.public_lanes, min_height),
+        _lane_pack(am, packing.alu_lanes, min_height),
     ]
     for plugin, calls in _npo_groups(circuit):
         recs = traces.npo_records.get(plugin.type_id, {})
@@ -140,19 +169,26 @@ class CircuitProverData:
     """Offline data reused across proofs of the same circuit."""
 
     common: CommonData
-    preps: tuple  # (const_prep, public_prep, alu_prep)
+    preps: tuple  # (const_prep, public_prep, alu_prep, *npo_preps)
     min_height: int
+    packing: TablePacking = dataclasses.field(default_factory=TablePacking)
 
 
 def circuit_prover_data(
-    config: StarkConfig, circuit: Circuit, min_height: int | None = None
+    config: StarkConfig,
+    circuit: Circuit,
+    min_height: int | None = None,
+    packing: TablePacking | None = None,
 ) -> CircuitProverData:
+    packing = packing or TablePacking()
     if min_height is None:
-        min_height = max(4, 1 << config.pcs.params.log_final_poly_len)
-    preps = build_preprocessed(circuit, min_height)
-    instances = _instances(config, circuit, preps, mains=None)
+        min_height = packing.min_trace_height or max(
+            4, 1 << config.pcs.params.log_final_poly_len
+        )
+    preps = build_preprocessed(circuit, min_height, packing)
+    instances = _instances(config, circuit, preps, mains=None, packing=packing)
     common = commit_preprocessed(config, instances)
-    return CircuitProverData(common, preps, min_height)
+    return CircuitProverData(common, preps, min_height, packing)
 
 
 def _npo_groups(circuit: Circuit):
@@ -165,17 +201,24 @@ def _npo_groups(circuit: Circuit):
     return [groups[k] for k in sorted(groups)]
 
 
-def _airs(config: StarkConfig, circuit: Circuit):
+def _airs(
+    config: StarkConfig, circuit: Circuit, packing: TablePacking | None = None
+):
+    packing = packing or TablePacking()
     d = circuit.ext.D
     w = circuit.ext.W if d > 1 else 0
-    airs = [ConstAir(d), PublicAir(d), AluAir(d, w)]
+    airs = [
+        ConstAir(d),
+        PublicAir(d, packing.public_lanes),
+        AluAir(d, w, packing.alu_lanes),
+    ]
     for plugin, _calls in _npo_groups(circuit):
         airs.append(plugin.table_air())
     return airs
 
 
-def _instances(config, circuit, preps, mains):
-    airs = _airs(config, circuit)
+def _instances(config, circuit, preps, mains, packing=None):
+    airs = _airs(config, circuit, packing)
     if mains is None:
         # shapes only (for preprocessed commitment): zero mains of right size
         mains = [
@@ -215,8 +258,16 @@ class BatchStarkProver:
         xp=np,
         debug_lookups: bool = False,
     ) -> BatchStarkProof:
-        mains = build_main_tables(circuit, traces, prover_data.min_height)
-        instances = _instances(self.config, circuit, prover_data.preps, mains)
+        mains = build_main_tables(
+            circuit, traces, prover_data.min_height, prover_data.packing
+        )
+        instances = _instances(
+            self.config,
+            circuit,
+            prover_data.preps,
+            mains,
+            prover_data.packing,
+        )
         publics = traces.witness[
             np.asarray(circuit.public_rows, dtype=np.int64)
         ]
@@ -238,7 +289,7 @@ class BatchStarkProver:
     ) -> bool:
         config = self.config
         F, E = config.field, config.ext
-        airs = _airs(config, circuit)
+        airs = _airs(config, circuit, prover_data.packing)
         airs_lookups = [(air, air.lookups()) for air in airs]
         verify_batch(config, airs_lookups, proof.batch, prover_data.common)
         # bind publics: proof's claimed instance publics must match
@@ -277,8 +328,14 @@ class BatchStarkProver:
             ),
             (
                 1,
-                prover_data.preps[1],
-                _pad_rows(pubs, prover_data.preps[1].shape[0], d),
+                # lane-packed prep flattens back to logical [mult, idx] rows
+                prover_data.preps[1].reshape(-1, 2),
+                _pad_rows(
+                    pubs,
+                    prover_data.preps[1].shape[0]
+                    * prover_data.packing.public_lanes,
+                    d,
+                ),
             ),
         ):
             want = _native_terminal(F, E, prep, values, alpha, beta)

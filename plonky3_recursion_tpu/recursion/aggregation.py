@@ -61,7 +61,7 @@ def build_aggregation_circuit(
     builder.enable_op(npo)
     vcrs = []
     for child in (left, right):
-        airs = _airs(config, child.circuit)
+        airs = _airs(config, child.circuit, child.prover_data.packing)
         vcrs.append(
             build_batch_verifier_circuit(
                 config,

@@ -47,7 +47,7 @@ class RecursionInput:
 
 def compute_shapes(config: StarkConfig, circuit: Circuit, pdata) -> list:
     """Instance shapes of any proof of `circuit` (statically known)."""
-    airs = _airs(config, circuit)
+    airs = _airs(config, circuit, pdata.packing)
     preps = pdata.preps
     names = ["WitnessChecks"]
     challenge_idx = {nm: 2 * i for i, nm in enumerate(names)}
@@ -100,7 +100,7 @@ def build_next_layer_circuit(
         if isinstance(inner, RecursionInput)
         else inner
     )
-    airs = _airs(config, inner_circuit)
+    airs = _airs(config, inner_circuit, inner_pdata.packing)
     airs_lookups = [(a, a.lookups()) for a in airs]
     shapes = compute_shapes(config, inner_circuit, inner_pdata)
     vcr = build_batch_verifier_circuit(
