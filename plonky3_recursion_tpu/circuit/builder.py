@@ -52,6 +52,7 @@ class CircuitBuilder:
         self.tags: dict[str, int] = {}
         self._scopes: list[str] = []
         self.enabled_ops: dict[str, object] = {}
+        self.op_counts: dict[str, dict[str, int]] = {}
 
     # ----- leaf construction -----
 
@@ -84,17 +85,21 @@ class CircuitBuilder:
             return b
         if b == 0:
             return a
+        self._record_op("add")
         return self.g.op(ADD, a, b)
 
     def sub(self, a: int, b: int) -> int:
         if b == 0:
             return a
+        self._record_op("sub")
         return self.g.op(SUB, a, b)
 
     def mul(self, a: int, b: int) -> int:
+        self._record_op("mul")
         return self.g.op(MUL, a, b)
 
     def div(self, a: int, b: int) -> int:
+        self._record_op("div")
         return self.g.op(DIV, a, b)
 
     def neg(self, a: int) -> int:
@@ -104,6 +109,7 @@ class CircuitBuilder:
         """a*b + c as one fused row (reference MulAdd)."""
         if c == 0:
             return self.mul(a, b)
+        self._record_op("mul_add")
         return self.g.op(MULADD, a, b, c)
 
     def mul_many(self, xs: list[int]) -> int:
@@ -231,7 +237,7 @@ class CircuitBuilder:
         self.npos.append(NpoCall(plugin, config, list(inputs), outputs, op_id, tag))
         return outputs
 
-    # ----- tags / scopes -----
+    # ----- tags / scopes / profiling -----
 
     def tag(self, name: str, eid: int):
         self.tags[name] = eid
@@ -241,6 +247,23 @@ class CircuitBuilder:
 
     def pop_scope(self):
         self._scopes.pop()
+
+    def _record_op(self, kind_name: str):
+        """Per-scope op counting (reference `OpCounts`/`ProfilingState`,
+        `expression_builder.rs:73-99`)."""
+        scope = "/".join(self._scopes) or "<root>"
+        per = self.op_counts.setdefault(scope, {})
+        per[kind_name] = per.get(kind_name, 0) + 1
+
+    def dump_profile(self) -> str:
+        """[PROFILING]-style per-scope op-count report."""
+        lines = []
+        for scope in sorted(self.op_counts):
+            per = self.op_counts[scope]
+            total = sum(per.values())
+            detail = " ".join(f"{k}={v}" for k, v in sorted(per.items()))
+            lines.append(f"[PROFILING] {scope}: total={total} {detail}")
+        return "\n".join(lines)
 
     # ----- build -----
 

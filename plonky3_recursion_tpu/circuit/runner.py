@@ -137,6 +137,12 @@ class CircuitRunner:
     # ----- execution -----
 
     def run(self) -> Traces:
+        from ..utils.tracing import span
+
+        with span("runner.run"):
+            return self._run()
+
+    def _run(self) -> Traces:
         assert not self._ran
         self._ran = True
         c = self.c

@@ -258,9 +258,12 @@ class BatchStarkProver:
         xp=np,
         debug_lookups: bool = False,
     ) -> BatchStarkProof:
-        mains = build_main_tables(
-            circuit, traces, prover_data.min_height, prover_data.packing
-        )
+        from ..utils.tracing import span
+
+        with span("build_main_tables"):
+            mains = build_main_tables(
+                circuit, traces, prover_data.min_height, prover_data.packing
+            )
         instances = _instances(
             self.config,
             circuit,
@@ -272,13 +275,14 @@ class BatchStarkProver:
             np.asarray(circuit.public_rows, dtype=np.int64)
         ]
         instances[1].publics = [int(x) for x in publics.reshape(-1)]
-        batch = prove_batch(
-            self.config,
-            instances,
-            prover_data.common,
-            xp=xp,
-            debug_lookups=debug_lookups,
-        )
+        with span("prove_batch"):
+            batch = prove_batch(
+                self.config,
+                instances,
+                prover_data.common,
+                xp=xp,
+                debug_lookups=debug_lookups,
+            )
         return BatchStarkProof(batch, publics)
 
     def verify_all_tables(

@@ -165,9 +165,13 @@ def prove_batch(
     _bind_instances(ch, shapes)
     if common.prep_commitment is not None:
         ch.observe_slice(common.prep_commitment)
-    trace_data = pcs.commit(
-        [(1, np.asarray(inst.trace, dtype=U32)) for inst in instances], xp
-    )
+    from ..utils.tracing import span
+
+    with span("commit_traces"):
+        trace_data = pcs.commit(
+            [(1, np.asarray(inst.trace, dtype=U32)) for inst in instances],
+            xp,
+        )
     ch.observe_slice(trace_data.commitment)
     for inst in instances:
         ch.observe_slice(np.asarray(inst.publics, dtype=U32))
@@ -282,7 +286,8 @@ def prove_batch(
             shift = F.generator * pow(wq, ci, F.P) % F.P
             chunk_mats.append((shift, q[ci::qdeg]))
             chunk_meta.append((i, ci))
-    q_data = pcs.commit(chunk_mats, xp)
+    with span("commit_quotient"):
+        q_data = pcs.commit(chunk_mats, xp)
     ch.observe_slice(q_data.commitment)
     zeta = ch.sample_ext(E)
     # open rounds: trace, prep, perm, quotient
@@ -305,7 +310,8 @@ def prove_batch(
             )
         )
     rounds.append((q_data, [[zeta]] * len(chunk_mats)))
-    opened, fri_proof = pcs.open(rounds, ch, xp)
+    with span("pcs_open"):
+        opened, fri_proof = pcs.open(rounds, ch, xp)
     ri = 0
     trace_openings = [(opened[0][i][0], opened[0][i][1]) for i in range(len(instances))]
     ri = 1
