@@ -428,13 +428,21 @@ def _verify_fri_circuit(config, b, al, ch, mmcs, rounds, P):
     apow = [b.one()]
     for _ in range(total_cols - 1):
         apow.append(b.mul(apow[-1], alpha))
-    # 3. commit phases
+    # 3. commit phases (variable arity schedule, derived like the prover)
+    from ..stark.fri_pcs import fri_phase_schedule
+
     heights = [
         log_n + P.log_blowup for _n, _c, mats in rounds for log_n, _p2 in mats
     ]
     log_max = max(heights)
     log_final = P.log_final_poly_len + P.log_blowup
-    num_phases = log_max - log_final
+    schedule = fri_phase_schedule(P, log_max, tuple(set(heights)))
+    offsets = []
+    _off = 0
+    for _a in schedule:
+        offsets.append(_off)
+        _off += _a
+    num_phases = len(schedule)
 
     def phase_digest(pf, ph, i):
         return int(pf.fri.commit_digests[ph][i])
@@ -543,7 +551,7 @@ def _verify_fri_circuit(config, b, al, ch, mmcs, rounds, P):
                         if log_h not in acc
                         else b.add(acc[log_h], term)
                     )
-        # fold chain
+        # fold chain (variable arity)
         folded = acc[log_max]
         log_size = log_max
         shift = int(F.generator)
@@ -556,36 +564,69 @@ def _verify_fri_circuit(config, b, al, ch, mmcs, rounds, P):
             _row, sibs = pf.fri.query_proofs[q].commit_steps[ph]
             return int(np.asarray(sibs[lv])[i])
 
-        for ph in range(num_phases):
-            half_log = log_size - 1
-            pair_flat = al.private_vec(2 * d, _bind(pair_coeff, q, ph))
-            pair0 = b.recompose_base_coeffs_to_ext(pair_flat[:d])
-            pair1 = b.recompose_base_coeffs_to_ext(pair_flat[d:])
+        for ph, ar in enumerate(schedule):
+            off = offsets[ph]
+            group = 1 << ar
+            row_flat = al.private_vec(group * d, _bind(pair_coeff, q, ph))
+            vals = [
+                b.recompose_base_coeffs_to_ext(row_flat[j * d : (j + 1) * d])
+                for j in range(group)
+            ]
+            levels = log_size - ar
             sibs = [
                 al.private_vec(8, _bind(step_sib, q, ph, lv))
-                for lv in range(half_log)
+                for lv in range(levels)
             ]
-            row_bits = bits[ph + 1 :]
+            row_bits = bits[off + ar :]
             mmcs.verify_batch(
                 phase_commits[ph],
-                [(1 << half_log, 2 * d)],
+                [(1 << levels, group * d)],
                 row_bits,
-                [pair_flat],
+                [row_flat],
                 sibs,
             )
-            b.connect(b.select(bits[ph], pair1, pair0), folded)
-            # fold: (a+b)/2 + β·(a−b)/(2x)
-            x_pair = x_from_bits(log_size, shift, bits[ph + 1 :][: log_size - 1])
-            a_t, b_t = pair0, pair1
-            even = b.mul(b.add(a_t, b_t), inv2)
-            odd = b.div(b.sub(a_t, b_t), b.mul(b.const(2), x_pair))
-            folded = b.mul_add(betas[ph], odd, even)
-            shift = shift * shift % p
-            log_size -= 1
+            # own-position check: select vals[pos] with pos = bits[off:off+ar]
+            sel = list(vals)
+            for t in range(ar):
+                bit = bits[off + t]
+                sel = [
+                    b.select(bit, sel[2 * j + 1], sel[2 * j])
+                    for j in range(len(sel) // 2)
+                ]
+            b.connect(sel[0], folded)
+            # fold the whole row through `ar` radix-2 sub-levels
+            beta_t = betas[ph]
+            sub_shift = shift
+            for t in range(ar):
+                m_bits = log_size - t - 1  # pair-index bit length
+                wgen = F.two_adic_generator(log_size - t)
+                new_vals = []
+                for j2 in range(1 << (ar - t - 1)):
+                    # pair x: constant part from the static local index j2,
+                    # dynamic part from the shared high bits
+                    exp_const = 0
+                    for bpos in range(ar - t - 1):
+                        if (j2 >> bpos) & 1:
+                            exp_const += 1 << (m_bits - 1 - bpos)
+                    x = b.const(sub_shift * pow(wgen, exp_const, p) % p)
+                    for db, bit in enumerate(bits[off + ar :]):
+                        qpos = ar - t - 1 + db
+                        factor = pow(wgen, 1 << (m_bits - 1 - qpos), p)
+                        x = b.mul(x, b.select(bit, b.const(factor), b.one()))
+                    va, vb = vals[2 * j2], vals[2 * j2 + 1]
+                    even = b.mul(b.add(va, vb), inv2)
+                    odd = b.div(b.sub(va, vb), b.mul(b.const(2), x))
+                    new_vals.append(b.mul_add(beta_t, odd, even))
+                vals = new_vals
+                beta_t = b.mul(beta_t, beta_t)
+                sub_shift = sub_shift * sub_shift % p
+            folded = vals[0]
+            shift = sub_shift
+            log_size -= ar
             if log_size in acc:
                 folded = b.add(folded, acc[log_size])
         # final poly check
-        x_fin = x_from_bits(log_size, shift, bits[num_phases:])
+        x_fin = x_from_bits(log_size, shift, bits[_off:])
         expect = b.zero
         for t in reversed(final_coeffs):
             expect = b.mul_add(expect, x_fin, t)

@@ -54,6 +54,7 @@ class FriParams:
     num_queries: int = 54
     commit_pow_bits: int = 0
     query_pow_bits: int = 0
+    max_log_arity: int = 1  # fold 2^a per phase (reference default 2)
 
     @staticmethod
     def testing() -> "FriParams":
@@ -76,7 +77,25 @@ class FriParams:
             num_queries=(security_level - qpw) // 2,
             commit_pow_bits=0,
             query_pow_bits=qpw,
+            max_log_arity=2,
         )
+
+
+def fri_phase_schedule(
+    params: FriParams, log_max: int, acc_heights: tuple
+) -> list[int]:
+    """Per-phase log-arities: fold 2^a per phase, capped so the fold never
+    skips past a pending roll-in height or the final codeword size."""
+    log_final = params.log_final_poly_len + params.log_blowup
+    schedule = []
+    log_size = log_max
+    while log_size > log_final:
+        stops = [h for h in acc_heights if log_final <= h < log_size]
+        next_stop = max(stops + [log_final])
+        a = min(params.max_log_arity, log_size - next_stop)
+        schedule.append(a)
+        log_size -= a
+    return schedule
 
 
 @dataclasses.dataclass
@@ -300,48 +319,37 @@ class TwoAdicFriPcs:
                         term if log_h not in acc else E.add(acc[log_h], term, xp)
                     )
                     k += mat.width
-        # 4. commit phase
+        # 4. commit phase (variable arity: one commitment + β per phase,
+        # `a` iterated 2-folds with β, β², β⁴, …)
         log_max = max(acc)
         log_final = P.log_final_poly_len + P.log_blowup
+        schedule = fri_phase_schedule(P, log_max, tuple(acc))
         folded = acc[log_max]
         shift = F.generator
         commit_digests = []
         commit_trees = []
         commit_pows = []
         log_size = log_max
-        while log_size > log_final:
-            half = 1 << (log_size - 1)
-            pairs = folded.reshape(half, 2 * E.D)  # adjacent pairs, flattened
-            root, tree = self.mmcs.commit([pairs], xp)
+        for a in schedule:
+            group = 1 << a
+            rows = folded.reshape((1 << log_size) >> a, group * E.D)
+            root, tree = self.mmcs.commit([rows], xp)
             commit_digests.append(np.asarray(root))
             commit_trees.append(tree)
             challenger.observe_slice(np.asarray(root))
             if P.commit_pow_bits:
                 commit_pows.append(challenger.grind(P.commit_pow_bits))
             beta = challenger.sample_ext(E)
-            if self.use_jit:
-                from ..ops.jitk import fri_fold_fn
-
-                fn = fri_fold_fn(F, E.D, log_size, shift)
-                folded = np.asarray(fn(folded, np.asarray(beta, dtype=U32)))
-            else:
-                x_pair, inv_2x = _fold_consts(F, log_size, shift)
-                a = folded[0::2]
-                b = folded[1::2]
-                s = E.add(a, b, xp)
-                d = E.sub(a, b, xp)
-                inv2 = F.monty_constant(pow(2, F.P - 2, F.P))
-                even = F.monty_mul(s, xp.asarray(inv2), xp)
-                odd = E.mul_base(d, xp.asarray(inv_2x), xp)
-                folded = E.add(
-                    even,
-                    E.mul(
-                        odd, xp.broadcast_to(xp.asarray(beta), odd.shape), xp
-                    ),
-                    xp,
+            beta_t = np.asarray(beta, dtype=U32)
+            sub_shift = shift
+            for t in range(a):
+                folded = self._fold_once(
+                    folded, beta_t, log_size - t, sub_shift, xp
                 )
-            shift = shift * shift % F.P
-            log_size -= 1
+                beta_t = E.mul(beta_t, beta_t, np)
+                sub_shift = sub_shift * sub_shift % F.P
+            shift = sub_shift
+            log_size -= a
             if log_size in acc:
                 folded = E.add(folded, acc[log_size], xp)
         # final polynomial: interpolate remaining codeword (bitrev, shift)
@@ -376,12 +384,12 @@ class TwoAdicFriPcs:
                 )
                 input_openings.append((opened_rows, sibs))
             commit_steps = []
-            idx = index
-            for ph, tree in enumerate(commit_trees):
-                row_idx = idx >> 1
+            off = 0
+            for ph, (tree, a) in enumerate(zip(commit_trees, schedule)):
+                row_idx = index >> (off + a)
                 rows, sibs = self.mmcs.open_batch(row_idx, tree)
                 commit_steps.append((rows[0], sibs))
-                idx >>= 1
+                off += a
             query_proofs.append(QueryProof(input_openings, commit_steps))
         proof = FriProof(
             commit_digests,
@@ -391,6 +399,31 @@ class TwoAdicFriPcs:
             query_proofs,
         )
         return opened, proof
+
+    def _fold_once(self, folded, beta, log_size: int, shift: int, xp):
+        """One radix-2 β-fold of an ext codeword in bitrev order."""
+        F, E = self.F, self.E
+        if self.use_jit:
+            from ..ops.jitk import fri_fold_fn
+
+            import jax.numpy as jnp
+
+            return fri_fold_fn(F, E.D, log_size, int(shift))(
+                folded, np.asarray(beta, dtype=U32)
+            )
+        _x, inv_2x = _fold_consts(F, log_size, shift)
+        a = folded[0::2]
+        b = folded[1::2]
+        s = E.add(a, b, xp)
+        d = E.sub(a, b, xp)
+        inv2 = F.monty_constant(pow(2, F.P - 2, F.P))
+        even = F.monty_mul(s, xp.asarray(inv2), xp)
+        odd = E.mul_base(d, xp.asarray(inv_2x), xp)
+        return E.add(
+            even,
+            E.mul(odd, xp.broadcast_to(xp.asarray(beta), odd.shape), xp),
+            xp,
+        )
 
     def _open_jit(self, rounds, challenger: DuplexChallenger):
         """Device-resident open: LDEs/coeffs stay on device, one fused call
@@ -446,30 +479,36 @@ class TwoAdicFriPcs:
                         else E.add(acc[log_h], term, jnp)
                     )
                     k += mat.width
-        # 4. commit phase (folded stays on device)
+        # 4. commit phase (folded stays on device; variable arity)
         log_max = max(acc)
         log_final = P.log_final_poly_len + P.log_blowup
+        schedule = fri_phase_schedule(P, log_max, tuple(acc))
         folded = acc[log_max]
         shift = F.generator
         commit_digests = []
         commit_trees = []
         commit_pows = []
         log_size = log_max
-        while log_size > log_final:
-            half = 1 << (log_size - 1)
-            pairs = folded.reshape(half, 2 * E.D)
-            root, tree = self.mmcs.commit([pairs], jnp)
+        for a in schedule:
+            group = 1 << a
+            rows = folded.reshape((1 << log_size) >> a, group * E.D)
+            root, tree = self.mmcs.commit([rows], jnp)
             commit_digests.append(np.asarray(root))
             commit_trees.append(tree)
             challenger.observe_slice(np.asarray(root))
             if P.commit_pow_bits:
                 commit_pows.append(challenger.grind(P.commit_pow_bits))
             beta = challenger.sample_ext(E)
-            folded = fri_fold_fn(F, E.D, log_size, int(shift))(
-                folded, np.asarray(beta, dtype=U32)
-            )
-            shift = shift * shift % F.P
-            log_size -= 1
+            beta_t = np.asarray(beta, dtype=U32)
+            sub_shift = shift
+            for t in range(a):
+                folded = self._fold_once(
+                    folded, beta_t, log_size - t, sub_shift, jnp
+                )
+                beta_t = E.mul(beta_t, beta_t, np)
+                sub_shift = sub_shift * sub_shift % F.P
+            shift = sub_shift
+            log_size -= a
             if log_size in acc:
                 folded = E.add(folded, acc[log_size], jnp)
         # final polynomial (tiny: download + host interpolation)
@@ -510,10 +549,15 @@ class TwoAdicFriPcs:
                 fn = gather_rows_fn(dev.shape[0], dev.shape[1], nq)
                 per_mat.append(np.asarray(fn(dev, scaled)))
             input_rows.append(per_mat)
-        phase_rows = []  # [ph] -> (nq, 2D) np
-        for ph, tree in enumerate(commit_trees):
+        phase_rows = []  # [ph] -> (nq, 2^a·D) np
+        offsets = []
+        off = 0
+        for a in schedule:
+            offsets.append(off)
+            off += a
+        for ph, (tree, a) in enumerate(zip(commit_trees, schedule)):
             row_idx = np.asarray(
-                [i >> (ph + 1) for i in indices], dtype=np.int32
+                [i >> (offsets[ph] + a) for i in indices], dtype=np.int32
             )
             dev = tree.matrices[0]
             fn = gather_rows_fn(dev.shape[0], dev.shape[1], nq)
@@ -538,13 +582,11 @@ class TwoAdicFriPcs:
                 sibs = siblings_of(data.tree.layers, ridx, rlm)
                 input_openings.append((opened_rows, sibs))
             commit_steps = []
-            idx = index
-            for ph, tree in enumerate(commit_trees):
-                row_idx = idx >> 1
-                levels = (1 << (log_max - ph - 1)).bit_length() - 1
-                sibs = siblings_of(tree.layers, row_idx, levels)
+            for ph, a in enumerate(schedule):
+                row_idx = index >> (offsets[ph] + a)
+                levels = log_max - offsets[ph] - a
+                sibs = siblings_of(commit_trees[ph].layers, row_idx, levels)
                 commit_steps.append((phase_rows[ph][q], sibs))
-                idx >>= 1
             query_proofs.append(QueryProof(input_openings, commit_steps))
         proof = FriProof(
             commit_digests,
@@ -593,7 +635,8 @@ class TwoAdicFriPcs:
         ]
         log_max = max(heights)
         log_final = P.log_final_poly_len + P.log_blowup
-        if len(proof.commit_digests) != log_max - log_final:
+        schedule = fri_phase_schedule(P, log_max, tuple(set(heights)))
+        if len(proof.commit_digests) != len(schedule):
             raise ValueError("wrong number of FRI phases")
         if len(proof.query_proofs) != P.num_queries:
             raise ValueError("wrong number of query proofs")
@@ -658,37 +701,51 @@ class TwoAdicFriPcs:
                             else E.add(acc[log_h], term, np)
                         )
                         k += w
-            # fold chain
+            # fold chain (variable arity)
             folded_val = acc[log_max]
             idx = index
             shift = F.generator
             log_size = log_max
-            for ph, (pair_row, sibs) in enumerate(qp.commit_steps):
-                half = 1 << (log_size - 1)
-                row_idx = idx >> 1
+            inv2 = F.monty_constant(pow(2, F.P - 2, F.P))
+            for ph, ((row, sibs), ar) in enumerate(
+                zip(qp.commit_steps, schedule)
+            ):
+                group = 1 << ar
+                row_idx = idx >> ar
                 if not self.mmcs.verify_batch(
                     np.asarray(proof.commit_digests[ph]),
-                    [(half, 2 * E.D)],
+                    [((1 << log_size) >> ar, group * E.D)],
                     row_idx,
-                    [pair_row],
+                    [row],
                     sibs,
                 ):
                     raise ValueError(f"commit-phase MMCS failed at phase {ph}")
-                pair = np.asarray(pair_row, dtype=U32).reshape(2, E.D)
-                if not np.array_equal(pair[idx & 1], folded_val):
+                vals = np.asarray(row, dtype=U32).reshape(group, E.D)
+                if not np.array_equal(vals[idx & (group - 1)], folded_val):
                     raise ValueError(f"fold consistency failed at phase {ph}")
-                x_pair, inv_2x = _fold_consts(F, log_size, shift)
-                a, b = pair[0], pair[1]
-                s = E.add(a, b, np)
-                d = E.sub(a, b, np)
-                inv2 = F.monty_constant(pow(2, F.P - 2, F.P))
-                even = F.monty_mul(s, inv2, np)
-                odd = E.mul_base(d, np.uint32(int(inv_2x[row_idx])), np)
-                folded_val = E.add(
-                    even, E.mul(odd, np.asarray(betas[ph]), np), np
-                )
-                shift = shift * shift % F.P
-                log_size -= 1
+                beta_t = np.asarray(betas[ph], dtype=U32)
+                sub_shift = shift
+                for t in range(ar):
+                    _xp, inv_2x = _fold_consts(F, log_size - t, sub_shift)
+                    half_local = vals.shape[0] // 2
+                    new_vals = np.zeros((half_local, E.D), dtype=U32)
+                    base = idx >> ar
+                    for j2 in range(half_local):
+                        gp = (base << (ar - t - 1)) | j2
+                        va, vb = vals[2 * j2], vals[2 * j2 + 1]
+                        even = F.monty_mul(E.add(va, vb, np), inv2, np)
+                        odd = E.mul_base(
+                            E.sub(va, vb, np), np.uint32(int(inv_2x[gp])), np
+                        )
+                        new_vals[j2] = E.add(
+                            even, E.mul(odd, beta_t, np), np
+                        )
+                    vals = new_vals
+                    beta_t = E.mul(beta_t, beta_t, np)
+                    sub_shift = sub_shift * sub_shift % F.P
+                folded_val = vals[0]
+                shift = sub_shift
+                log_size -= ar
                 idx = row_idx
                 if log_size in acc:
                     folded_val = E.add(folded_val, acc[log_size], np)
