@@ -190,6 +190,28 @@ def fri_reduce_fn(field: Monty31, d: int, log_h: int, width: int):
     return jax.jit(fn)
 
 
+_QUOTIENT_CACHE: dict = {}
+
+
+def quotient_fn(key: tuple, make):
+    """Compiled per-instance quotient evaluator, cached by a stable AIR/
+    shape key.  `make()` builds the jitted fn on first use."""
+    fn = _QUOTIENT_CACHE.get(key)
+    if fn is None:
+        fn = _QUOTIENT_CACHE[key] = jax.jit(make())
+    return fn
+
+
+_PERM_CACHE: dict = {}
+
+
+def perm_cols_fn(key: tuple, make):
+    fn = _PERM_CACHE.get(key)
+    if fn is None:
+        fn = _PERM_CACHE[key] = jax.jit(make())
+    return fn
+
+
 @functools.lru_cache(maxsize=None)
 def fri_fold_fn(field: Monty31, d: int, log_size: int, shift: int):
     """One β-fold of an ext codeword in bitrev order: fn(folded (2^k, D),

@@ -54,6 +54,9 @@ class ConstAir(Air):
     def eval(self, b):
         pass
 
+    def cache_key(self):
+        return (type(self).__name__, self.d, self.lanes)
+
     def lookups(self):
         d = self.d
         inters = []
@@ -81,6 +84,9 @@ class AluAir(Air):
         self.lanes = lanes
         self.width_main = 4 * d * lanes
         self.width_prep = ALU_PREP_WIDTH * lanes
+
+    def cache_key(self):
+        return (type(self).__name__, self.d, self.w, self.lanes)
 
     def _slot(self, s: int, lane: int = 0):
         base = lane * 4 * self.d

@@ -90,6 +90,9 @@ class Poseidon2TableAir(Air):
         self.params = params
         self.d = d
 
+    def cache_key(self):
+        return (type(self).__name__, self.params.field.name, self.d)
+
     def eval(self, b):
         cur = b.main_local[:WIDTH]
         sb = b.main_local[WIDTH:]

@@ -206,11 +206,14 @@ def prove_batch(
             "terminals": [],
             "sels": {},
         }
-        perm, term = generate_perm_columns(
-            F, E, inst.lookups, tb, n, challenges, xp
-        )
+        if pcs.use_jit:
+            perm, term = _perm_cols_jit(config, inst, names, challenges)
+        else:
+            perm, term = generate_perm_columns(
+                F, E, inst.lookups, tb, n, challenges, xp
+            )
         perm_mats.append((i, np.asarray(perm)))
-        terminals.append((i, term))
+        terminals.append((i, np.asarray(term)))
     if debug_lookups and terminals:
         check_lookups_balance([t for _i, t in terminals], E)
     perm_data = None
@@ -229,6 +232,19 @@ def prove_batch(
         lq = s.log_quotient_degree
         n = 1 << s.log_n
         m = n << lq
+        if pcs.use_jit:
+            pm = next((pm for j, pm in perm_mats if j == i), None)
+            term = next((t for j, t in terminals if j == i), None)
+            q = _quotient_jit(
+                config, inst, b, s, names, challenges, alpha, pm, term
+            )
+            qdeg = 1 << lq
+            wq = F.two_adic_generator(s.log_n + lq)
+            for ci in range(qdeg):
+                shift = F.generator * pow(wq, ci, F.P) % F.P
+                chunk_mats.append((shift, q[ci::qdeg]))
+                chunk_meta.append((i, ci))
+            continue
         gpow = xp.asarray(_power_table(F, F.generator, n))
 
         def to_coset(mat):
@@ -518,3 +534,156 @@ def _recompose_rows(E, flat_opened: np.ndarray, num_cols: int) -> np.ndarray:
             acc = term if acc is None else E.add(acc, term, np)
         out[c] = acc
     return out
+
+
+def _perm_cols_jit(config, inst, names, challenges):
+    """Device permutation-column generation, compiled per instance shape."""
+    import jax.numpy as jnp
+
+    from ..ops.jitk import perm_cols_fn
+
+    F, E = config.field, config.ext
+    n, w = inst.trace.shape
+    wp = inst.preprocessed.shape[1] if inst.preprocessed is not None else 0
+    lookups = inst.lookups
+    key = ("perm", inst.air.cache_key(), n, w, wp, tuple(names))
+
+    def make():
+        def fn(trace, prep, chal):
+            tb = {
+                "main": {
+                    0: ("base", trace),
+                    1: ("base", jnp.roll(trace, -1, axis=0)),
+                },
+                "preprocessed": {
+                    0: ("base", prep),
+                    1: ("base", jnp.roll(prep, -1, axis=0)),
+                }
+                if wp
+                else {},
+                "perm": {},
+                "publics": [],
+                "challenges": [],
+                "terminals": [],
+                "sels": {},
+            }
+            chal_map = {
+                nm: (chal[2 * k], chal[2 * k + 1])
+                for k, nm in enumerate(names)
+            }
+            return generate_perm_columns(
+                F, E, lookups, tb, n, chal_map, jnp
+            )
+
+        return fn
+
+    fn = perm_cols_fn(key, make)
+    prep = (
+        inst.preprocessed
+        if inst.preprocessed is not None
+        else np.zeros((n, 0), dtype=U32)
+    )
+    chal = np.stack(
+        [challenges[nm][j] for nm in names for j in (0, 1)]
+    ).astype(U32)
+    perm, term = fn(np.asarray(inst.trace, dtype=U32), prep, chal)
+    return np.asarray(perm), np.asarray(term)
+
+
+def _quotient_jit(config, inst, builder, shape, names, challenges, alpha, pm, term):
+    """Device quotient evaluation, compiled per instance shape."""
+    import jax.numpy as jnp
+
+    from ..ops.jitk import quotient_fn
+
+    F, E = config.field, config.ext
+    s = shape
+    lq = s.log_quotient_degree
+    n = 1 << s.log_n
+    m = n << lq
+    wp = inst.preprocessed.shape[1] if inst.preprocessed is not None else 0
+    npc = s.num_perm_cols if pm is not None else 0
+    n_pub = len(inst.publics)
+    key = (
+        "quot",
+        inst.air.cache_key(),
+        s.log_n,
+        lq,
+        wp,
+        npc,
+        n_pub,
+        tuple(names),
+    )
+    gpow = _power_table(F, F.generator, n)
+    sels = lde_selectors(F, s.log_n, lq, F.generator)
+
+    def make():
+        def to_coset(mat):
+            coeffs = intt(F, mat, jnp)
+            scaled = F.monty_mul(coeffs, jnp.asarray(gpow)[:, None], jnp)
+            return ntt(F, jnp.pad(scaled, [(0, m - n), (0, 0)]), jnp)
+
+        def fn(trace, prep, perm_flat, pubs, chal, term_arr, alpha_arr):
+            lde_main = to_coset(trace)
+            bindings = {
+                "main": {
+                    0: ("base", lde_main),
+                    1: ("base", jnp.roll(lde_main, -(1 << lq), axis=0)),
+                },
+                "preprocessed": {},
+                "perm": {},
+                "publics": [pubs[k] for k in range(n_pub)],
+                "challenges": [chal[k] for k in range(2 * len(names))],
+                "terminals": [term_arr] if npc else [],
+                "sels": {
+                    k: ("base", jnp.asarray(v)) for k, v in sels.items()
+                },
+            }
+            if wp:
+                lde_prep = to_coset(prep)
+                bindings["preprocessed"] = {
+                    0: ("base", lde_prep),
+                    1: ("base", jnp.roll(lde_prep, -(1 << lq), axis=0)),
+                }
+            if npc:
+                lde_perm = to_coset(perm_flat).reshape(m, npc, E.D)
+                bindings["perm"] = {
+                    0: lde_perm,
+                    1: jnp.roll(lde_perm, -(1 << lq), axis=0),
+                }
+            ev = Evaluator(F, E, jnp)
+            folded = _fold_constraints(E, builder, ev, bindings, alpha_arr, jnp)
+            return E.mul_base(
+                folded, jnp.asarray(sels["inv_vanishing"]), jnp
+            )
+
+        return fn
+
+    fn = quotient_fn(key, make)
+    prep = (
+        np.asarray(inst.preprocessed, dtype=U32)
+        if inst.preprocessed is not None
+        else np.zeros((n, 0), dtype=U32)
+    )
+    perm_flat = (
+        flatten_ext_matrix(pm) if pm is not None else np.zeros((n, 0), dtype=U32)
+    )
+    pubs = np.asarray(
+        [int(x) % F.P for x in inst.publics] or [0], dtype=U32
+    )[: max(n_pub, 1)]
+    chal = np.stack(
+        [challenges[nm][j] for nm in names for j in (0, 1)]
+    ).astype(U32) if names else np.zeros((0, E.D), dtype=U32)
+    term_arr = (
+        np.asarray(term, dtype=U32) if term is not None else np.zeros(E.D, dtype=U32)
+    )
+    q = fn(
+        np.asarray(inst.trace, dtype=U32),
+        prep,
+        perm_flat,
+        pubs,
+        chal,
+        term_arr,
+        np.asarray(alpha, dtype=U32),
+    )
+    return np.asarray(q)

@@ -173,7 +173,7 @@ def generate_perm_columns(
         total = E.add(total, c, xp)
     acc = _mod_cumsum_ext(F, total, xp)
     perm = xp.stack([acc] + cols, axis=1)  # (n, 1+aux, D)
-    terminal = np.asarray(acc[-1])
+    terminal = acc[-1] if xp is not np else np.asarray(acc[-1])
     return perm, terminal
 
 

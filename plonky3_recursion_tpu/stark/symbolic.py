@@ -200,6 +200,16 @@ class Air:
     width_prep: int = 0
     num_publics: int = 0
 
+    def cache_key(self) -> tuple:
+        """Stable identity for compiled-kernel caches (override when the
+        constraint set depends on more than the widths)."""
+        return (
+            type(self).__name__,
+            self.width_main,
+            self.width_prep,
+            self.num_publics,
+        )
+
     def eval(self, builder: AirBuilder):
         raise NotImplementedError
 
