@@ -43,9 +43,10 @@ class NpoCall:
 
 
 class CircuitBuilder:
-    def __init__(self, ext: BinomialExtension):
+    def __init__(self, ext: BinomialExtension, debug: bool = False):
         self.E = ext
-        self.g = ExprGraph(ext.D)
+        self.g = ExprGraph(ext.D, debug=debug)
+        self.g.scope_provider = lambda: "/".join(self._scopes)
         self.connects: list[tuple[int, int]] = []
         self.hints: list[HintDecl] = []
         self.npos: list[NpoCall] = []
@@ -254,6 +255,18 @@ class CircuitBuilder:
         scope = "/".join(self._scopes) or "<root>"
         per = self.op_counts.setdefault(scope, {})
         per[kind_name] = per.get(kind_name, 0) + 1
+
+    def dump_allocation_log(self) -> str:
+        """Per-node allocation report with creating scope (reference
+        `dump_allocation_log`, `circuit_builder.rs:844`; needs debug=True)."""
+        from .expr import CONST, PRIVATE, PUBLIC
+
+        kind_names = {CONST: "const", PUBLIC: "public", PRIVATE: "private"}
+        lines = []
+        for eid, kind, scope in self.g.alloc_log:
+            kn = kind_names.get(kind, f"op{kind}")
+            lines.append(f"[ALLOC] expr {eid}: {kn} @ {scope or '<root>'}")
+        return "\n".join(lines)
 
     def dump_profile(self) -> str:
         """[PROFILING]-style per-scope op-count report."""

@@ -38,18 +38,26 @@ class Node:
 
 
 class ExprGraph:
-    def __init__(self, d: int):
+    def __init__(self, d: int, debug: bool = False):
         self.d = d
         self.nodes: list[Node] = []
         self.const_pool: dict[tuple, int] = {}
         self.cse_pool: dict[tuple, int] = {}
         self.num_publics = 0
         self.num_privates = 0
+        # allocation log (reference AllocationLog, feature `debugging`):
+        # per node, the scope path + label active at creation
+        self.debug = debug
+        self.alloc_log: list = []
+        self.scope_provider = None  # set by CircuitBuilder
         # ExprId 0 is always const zero (reference ExprId::ZERO)
         self.const(tuple([0] * d))
 
     def _push(self, node: Node) -> int:
         self.nodes.append(node)
+        if self.debug:
+            scope = self.scope_provider() if self.scope_provider else ""
+            self.alloc_log.append((len(self.nodes) - 1, node.kind, scope))
         return len(self.nodes) - 1
 
     def const(self, value: tuple) -> int:

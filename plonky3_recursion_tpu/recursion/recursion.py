@@ -45,6 +45,19 @@ class RecursionInput:
     prover_data: CircuitProverData
 
 
+@dataclasses.dataclass
+class RecursionOutput:
+    """Result of proving a layer (reference `RecursionOutput`,
+    `recursion.rs:117`): chain with `into_recursion_input()`."""
+
+    proof: BatchStarkProof
+    circuit: Circuit
+    prover_data: CircuitProverData
+
+    def into_recursion_input(self) -> RecursionInput:
+        return RecursionInput(self.proof, self.circuit, self.prover_data)
+
+
 def compute_shapes(config: StarkConfig, circuit: Circuit, pdata) -> list:
     """Instance shapes of any proof of `circuit` (statically known)."""
     airs = _airs(config, circuit, pdata.packing)
