@@ -153,12 +153,22 @@ class TwoAdicFriPcs:
         params: FriParams,
         mmcs: MerkleMmcs | None = None,
         use_jit: bool = False,
+        hiding_salt_cols: int = 0,
+        salt_rng: np.random.Generator | None = None,
     ):
+        """hiding_salt_cols > 0 enables salted (hiding) commitments: every
+        distinct LDE height in a commit gets a random salt matrix hashed
+        into the same Merkle leaves (reference `MerkleTreeHidingMmcs` /
+        `HidingFriPcs` salts; SURVEY.md §2.6).  Salt rows travel in query
+        openings but never enter the α-reduction (they are not polynomial
+        data)."""
         self.F = field
         self.E = ext
         self.params = params
         self.use_jit = use_jit
         self.mmcs = mmcs or MerkleMmcs(field, use_jit=use_jit)
+        self.hiding_salt_cols = hiding_salt_cols
+        self.salt_rng = salt_rng or np.random.default_rng()
 
     # ----- commit -----
 
@@ -167,7 +177,7 @@ class TwoAdicFriPcs:
         F = self.F
         committed = []
         ldes = []
-        if self.use_jit:
+        if self.use_jit and not self.hiding_salt_cols:
             from ..ops.jitk import round_commit_fn
 
             sig = tuple(
@@ -211,8 +221,37 @@ class TwoAdicFriPcs:
                 CommittedMatrix(int(shift), log_n, w, np.asarray(coeffs))
             )
             ldes.append(lde)
+        ldes = ldes + self._salt_matrices([m.shape[0] for m in ldes], xp)
         root, tree = self.mmcs.commit(ldes, xp)
         return PcsProverData(committed, tree, np.asarray(root))
+
+    def _salt_matrices(self, heights: list, xp) -> list:
+        """One random salt matrix per distinct height (hiding mode)."""
+        if not self.hiding_salt_cols:
+            return []
+        out = []
+        seen = []
+        for h in heights:
+            if h not in seen:
+                seen.append(h)
+                out.append(
+                    xp.asarray(
+                        self.F.rand(
+                            self.salt_rng, (h, self.hiding_salt_cols)
+                        )
+                    )
+                )
+        return out
+
+    def salt_dims(self, lde_heights: list) -> list:
+        """Verifier-side dims of the salt matrices of a commitment."""
+        if not self.hiding_salt_cols:
+            return []
+        seen = []
+        for h in lde_heights:
+            if h not in seen:
+                seen.append(h)
+        return [(h, self.hiding_salt_cols) for h in seen]
 
     # ----- evaluation at points (prover side) -----
 
@@ -537,15 +576,14 @@ class TwoAdicFriPcs:
             for data, _p in rounds
         ]
         # batched row gathers per (round, matrix)
-        input_rows = []  # [ri][mi] -> (nq, w) np
+        input_rows = []  # [ri][mi] -> (nq, w) np  (includes salt matrices)
         for (data, _pts), rlm in zip(rounds, round_log_max):
             per_mat = []
-            for mi, mat in enumerate(data.matrices):
-                log_h = mat.log_n + P.log_blowup
+            for mi, dev in enumerate(data.tree.matrices):
+                log_h = dev.shape[0].bit_length() - 1
                 scaled = np.asarray(
                     [i >> (log_max - log_h) for i in indices], dtype=np.int32
                 )
-                dev = data.tree.matrices[mi]
                 fn = gather_rows_fn(dev.shape[0], dev.shape[1], nq)
                 per_mat.append(np.asarray(fn(dev, scaled)))
             input_rows.append(per_mat)
@@ -578,7 +616,10 @@ class TwoAdicFriPcs:
                 zip(rounds, round_log_max)
             ):
                 ridx = index >> (log_max - rlm)
-                opened_rows = [input_rows[ri][mi][q] for mi in range(len(data.matrices))]
+                opened_rows = [
+                    input_rows[ri][mi][q]
+                    for mi in range(len(data.tree.matrices))
+                ]
                 sibs = siblings_of(data.tree.layers, ridx, rlm)
                 input_openings.append((opened_rows, sibs))
             commit_steps = []
@@ -664,6 +705,7 @@ class TwoAdicFriPcs:
                     (1 << (log_n + P.log_blowup), np.asarray(pts[0][1]).shape[0])
                     for log_n, pts in mats
                 ]
+                dims = dims + self.salt_dims([h for h, _w in dims])
                 if not self.mmcs.verify_batch(
                     np.asarray(com),
                     dims,
