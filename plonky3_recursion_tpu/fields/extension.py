@@ -166,3 +166,79 @@ class BinomialExtension:
 @functools.lru_cache(maxsize=None)
 def ext_field(base: Monty31, d: int) -> BinomialExtension:
     return BinomialExtension(base, d)
+
+
+@dataclasses.dataclass(frozen=True)
+class QuinticTrinomialExtension:
+    """F_p[x]/(x^5 + x^2 − 1): the reference's KoalaBear quintic extension
+    (`QuinticTrinomialExtensionField`, SURVEY.md §2.6 / §2.2
+    `alu_quintic_trinomial`).  Same trailing-dim-D layout as the binomial
+    extensions; reduction uses x^5 = 1 − x^2 iteratively for degrees 5..8.
+    Inversion is a Fermat power (no cheap Frobenius for trinomials)."""
+
+    base: Monty31
+    D: int = 5
+
+    def zeros(self, shape, xp):
+        return xp.zeros(tuple(shape) + (self.D,), dtype=U32)
+
+    def from_base(self, a, xp):
+        out = xp.zeros(np.shape(a) + (self.D,), dtype=U32)
+        if xp is np:
+            out[..., 0] = a
+            return out
+        return out.at[..., 0].set(a)
+
+    def add(self, a, b, xp):
+        return self.base.add(a, b, xp)
+
+    def sub(self, a, b, xp):
+        return self.base.sub(a, b, xp)
+
+    def neg(self, a, xp):
+        return self.base.neg(a, xp)
+
+    def mul(self, a, b, xp):
+        F = self.base
+        d = self.D
+        b_m = F.to_monty(b, xp)
+        # schoolbook: c_k for k in 0..8
+        cols = []
+        for k in range(2 * d - 1):
+            acc = None
+            for i in range(max(0, k - d + 1), min(d, k + 1)):
+                t = F.monty_mul(a[..., i], b_m[..., k - i], xp)
+                acc = t if acc is None else F.add(acc, t, xp)
+            cols.append(acc)
+        # reduce with x^{5+j} = x^j − x^{2+j}, descending k so the k=8 term
+        # cascades into x^5 before x^5 itself is reduced
+        for k in range(2 * d - 2, d - 1, -1):
+            j = k - d
+            v = cols[k]
+            cols[j] = F.add(cols[j], v, xp)
+            cols[2 + j] = F.sub(cols[2 + j], v, xp)
+        return xp.stack(cols[:d], axis=-1)
+
+    def mul_base(self, a, s, xp):
+        s_m = self.base.to_monty(s, xp)
+        return self.base.monty_mul(a, s_m[..., None], xp)
+
+    def pow_static(self, a, e: int, xp):
+        if e == 0:
+            return self.from_base(xp.ones(np.shape(a)[:-1], dtype=U32), xp)
+        acc = None
+        base = a
+        while e:
+            if e & 1:
+                acc = base if acc is None else self.mul(acc, base, xp)
+            e >>= 1
+            if e:
+                base = self.mul(base, base, xp)
+        return acc
+
+    def inv(self, a, xp):
+        p = self.base.P
+        return self.pow_static(a, p**self.D - 2, xp)
+
+    def rand(self, rng: np.random.Generator, shape):
+        return self.base.rand(rng, tuple(shape) + (self.D,))
