@@ -3,6 +3,11 @@
 (reference `recursive_keccak.rs`; SURVEY.md §2.4 L7).
 
     python examples/recursive_keccak.py --n 2 --num-recursive-layers 0 --cpu
+
+The layer-1 verifier circuit for a keccak proof is ~455k ALU rows /
+~10.7k Poseidon2 perms (the reference's recursion witnesses are the same
+order, ~420-440k rows) — proving it on the host CPU path takes tens of
+minutes; use the device path for real runs.
 """
 
 import argparse

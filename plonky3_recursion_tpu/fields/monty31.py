@@ -31,6 +31,10 @@ import numpy as np
 U32 = np.uint32
 MASK16 = 0xFFFF
 
+# u32 wraparound is load-bearing in every kernel here (Montgomery folds,
+# borrow tricks); numpy's 0-d overflow warnings are pure noise for us.
+np.seterr(over="ignore")
+
 
 def _pow_mod(b: int, e: int, m: int) -> int:
     return pow(b, e, m)

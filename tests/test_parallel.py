@@ -18,6 +18,7 @@ needs_mesh = pytest.mark.skipif(
 
 
 @needs_mesh
+@pytest.mark.slow
 def test_sharded_ntt_matches_host(rng):
     mesh = make_mesh(8)
     for log_n in (9, 12):
@@ -28,6 +29,7 @@ def test_sharded_ntt_matches_host(rng):
 
 
 @needs_mesh
+@pytest.mark.slow
 def test_sharded_merkle_matches_host(rng):
     mesh = make_mesh(8)
     mat = F.rand(rng, (64, 8))
