@@ -123,6 +123,47 @@ def permute(params: Poseidon1Params, state, xp):
     return F.from_monty(sm, xp)
 
 
+def permute_with_rows(params: Poseidon1Params, states, xp):
+    """Batched permutation capturing every round state: (N, w) ->
+    (N, 1 + RF + RP, w); row 0 = input, last row = output (classic
+    Poseidon has no initial linear layer)."""
+    F = params.field
+    deg = F.sbox_degree
+    rf2 = params.full_rounds // 2
+    mds_m = xp.asarray(params.mds_m)
+    rc_m = xp.asarray(params.rc_m)
+    rows = [states]
+    sm = F.to_monty(states, xp)
+
+    def emit(sm):
+        rows.append(F.from_monty(sm, xp))
+
+    r = 0
+    for _ in range(rf2):
+        sm = _mds_apply(
+            F, _sbox_monty(F, F.add(sm, rc_m[r], xp), deg, xp), mds_m, xp
+        )
+        emit(sm)
+        r += 1
+    for _ in range(params.partial_rounds):
+        s0 = _sbox_monty(F, F.add(sm[..., 0], rc_m[r, 0], xp), deg, xp)
+        if xp is np:
+            sm = sm.copy()
+            sm[..., 0] = s0
+        else:
+            sm = sm.at[..., 0].set(s0)
+        sm = _mds_apply(F, sm, mds_m, xp)
+        emit(sm)
+        r += 1
+    for _ in range(rf2):
+        sm = _mds_apply(
+            F, _sbox_monty(F, F.add(sm, rc_m[r], xp), deg, xp), mds_m, xp
+        )
+        emit(sm)
+        r += 1
+    return xp.stack(rows, axis=1)
+
+
 def permute_scalar(params: Poseidon1Params, state_ints):
     """Python-int reference for golden tests."""
     F = params.field

@@ -34,15 +34,26 @@ class DuplexChallenger:
     WIDTH = 16
     RATE = 8
 
-    def __init__(self, field: Monty31, params: Poseidon2Params | None = None):
+    def __init__(
+        self,
+        field: Monty31,
+        params: Poseidon2Params | None = None,
+        perm_fn=None,
+    ):
+        """perm_fn((1, WIDTH) array) -> (1, WIDTH): override to use another
+        permutation family (hash-agnostic dispatch, reference `PermConfig`
+        `circuit/src/ops/perm.rs:19`); defaults to Poseidon2."""
         self.field = field
         self.params = params or poseidon2_params(field, self.WIDTH)
+        self.perm_fn = perm_fn or (
+            lambda s: permute(self.params, s, np)
+        )
         self.state = np.zeros(self.WIDTH, dtype=U32)
         self.input_buffer: list[int] = []
         self.output_buffer: list[int] = []
 
     def clone(self) -> "DuplexChallenger":
-        c = DuplexChallenger(self.field, self.params)
+        c = DuplexChallenger(self.field, self.params, self.perm_fn)
         c.state = self.state.copy()
         c.input_buffer = list(self.input_buffer)
         c.output_buffer = list(self.output_buffer)
@@ -53,7 +64,7 @@ class DuplexChallenger:
         if buf:
             self.state = self.state.copy()
             self.state[: len(buf)] = np.asarray(buf, dtype=U32)
-        self.state = permute(self.params, self.state[None, :], np)[0]
+        self.state = self.perm_fn(self.state[None, :])[0]
         self.output_buffer = [int(x) for x in self.state[: self.RATE]]
         self.input_buffer = []
 
@@ -111,7 +122,7 @@ class DuplexChallenger:
             if k:
                 states[:, :k] = prefix
             states[:, k] = cand
-            out = permute(self.params, states, np)
+            out = self.perm_fn(states)
             # first sample pops the back of the output buffer: state[RATE-1]
             samples = out[:, self.RATE - 1].astype(np.uint32)
             hits = np.nonzero((samples & mask) == 0)[0]
