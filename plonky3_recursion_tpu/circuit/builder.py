@@ -23,11 +23,17 @@ from .expr import ADD, BOOL, DIV, MUL, MULADD, SUB, ExprGraph
 
 @dataclasses.dataclass
 class HintDecl:
-    """A prover-side computed hint: outputs = fn(input values)."""
+    """A prover-side computed hint: outputs = fn(input values).
+
+    `kind`/`meta` let the runner execute same-shaped hints of a level as
+    one vectorized batch ("bit_decompose" with meta=n_bits,
+    "ext_decompose") instead of per-instance python calls."""
 
     fn: object  # callable(list[tuple]) -> list[tuple]  (D-coeff tuples)
     inputs: list  # ExprIds
     outputs: list  # ExprIds (PRIVATE nodes)
+    kind: str = ""
+    meta: int = 0
 
 
 @dataclasses.dataclass
@@ -186,7 +192,9 @@ class CircuitBuilder:
             ]
 
         bits = [self.private_input() for _ in range(n_bits)]
-        self.hints.append(HintDecl(fill, [x], bits))
+        self.hints.append(
+            HintDecl(fill, [x], bits, kind="bit_decompose", meta=n_bits)
+        )
         for b in bits:
             self.assert_bool(b)
         self.connect(self.reconstruct_index_from_bits(bits), x)
@@ -216,7 +224,7 @@ class CircuitBuilder:
             return [(int(v[j]),) + (0,) * (d - 1) for j in range(d)]
 
         coeffs = [self.private_input() for _ in range(d)]
-        self.hints.append(HintDecl(fill, [x], coeffs))
+        self.hints.append(HintDecl(fill, [x], coeffs, kind="ext_decompose"))
         self.connect(self.recompose_base_coeffs_to_ext(coeffs), x)
         return coeffs
 

@@ -80,6 +80,8 @@ class HintOp:
     inputs: list  # wids
     outputs: list  # wids
     level: int = -1
+    kind: str = ""
+    meta: int = 0
 
 
 @dataclasses.dataclass
@@ -234,6 +236,8 @@ def compile_circuit(builder) -> Circuit:
             h.fn,
             [wid_of_node[e] for e in h.inputs],
             [wid_of_node[e] for e in h.outputs],
+            kind=h.kind,
+            meta=h.meta,
         )
         for h in builder.hints
     ]

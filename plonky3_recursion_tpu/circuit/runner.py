@@ -86,6 +86,30 @@ class CircuitRunner:
             self.npos_by_level.setdefault(call.level, []).append(call)
         self._ran = False
         self.npo_records: dict[str, list] = {}
+        # native executor: level-sorted flat row arrays (C++ hot loop)
+        self._native = None
+        try:
+            from ..native import execute_alu_rows, get_lib
+
+            get_lib()
+            self._native = execute_alu_rows
+        except Exception:
+            pass
+        if self._native is not None:
+            order = sorted(
+                range(len(circuit.alu_rows)),
+                key=lambda i: circuit.alu_rows[i].level,
+            )
+            rows = [circuit.alu_rows[i] for i in order]
+            self._flat = (
+                np.asarray([r.level for r in rows], dtype=np.int64),
+                np.asarray([r.kind for r in rows], dtype=np.uint8),
+                np.asarray([r.solve for r in rows], dtype=np.uint8),
+                np.ascontiguousarray([r.a for r in rows], dtype=np.int32),
+                np.ascontiguousarray([r.b for r in rows], dtype=np.int32),
+                np.ascontiguousarray([r.c for r in rows], dtype=np.int32),
+                np.ascontiguousarray([r.out for r in rows], dtype=np.int32),
+            )
 
     # ----- inputs -----
 
@@ -158,12 +182,11 @@ class CircuitRunner:
             | set(self.hints_by_level)
             | set(self.npos_by_level)
         )
+        if self._native is not None:
+            self._run_native(levels)
+            return self._finish()
         for lvl in levels:
-            for h in self.hints_by_level.get(lvl, []):
-                ins = [tuple(int(x) for x in self.wit[w]) for w in h.inputs]
-                outs = h.fn(ins)
-                for w, v in zip(h.outputs, outs):
-                    self.set_witness(w, v)
+            self._run_hints(self.hints_by_level.get(lvl, []))
             for kind, solve, a, b, cc, out in self.groups_by_level.get(
                 lvl, []
             ):
@@ -202,19 +225,175 @@ class CircuitRunner:
                             f"check row mismatch on witness {out[bad]}: "
                             f"{res[bad]} vs {vo[bad]}"
                         )
-            for call in self.npos_by_level.get(lvl, []):
-                ins = [self.wit[w].copy() for w in call.inputs]
-                priv = self.npo_private.get(call.tag)
-                outs, record = call.plugin.execute(call.config, ins, priv)
-                for w, v in zip(call.outputs, outs):
-                    self.set_witness(w, v)
-                self.npo_records.setdefault(call.plugin.type_id, {})[
-                    call.op_id
-                ] = record
+            self._run_npos(self.npos_by_level.get(lvl, []))
+        return self._finish()
+
+    def _finish(self) -> Traces:
         undef = np.nonzero(~self.defined)[0]
         if undef.size:
-            raise MissingInput(f"{undef.size} witnesses undefined, first {undef[:5]}")
-        return Traces(circuit=c, witness=self.wit, npo_records=self.npo_records)
+            raise MissingInput(
+                f"{undef.size} witnesses undefined, first {undef[:5]}"
+            )
+        return Traces(
+            circuit=self.c, witness=self.wit, npo_records=self.npo_records
+        )
+
+    def _run_native(self, levels: list):
+        """C++ ALU execution in level-ordered segments, pausing at levels
+        with hints/NPOs (which still run in python/vectorized form)."""
+        E = self.c.ext
+        F = E.base
+        levels_arr, kinds, solves, a, b, c, out = self._flat
+        defined_u8 = self.defined.view(np.uint8)
+        w_binomial = E.W if E.D > 1 else 0
+        n = len(kinds)
+        pos = 0
+
+        def flush(end):
+            nonlocal pos
+            if end > pos:
+                err = self._native(
+                    F,
+                    int(w_binomial),
+                    E.D,
+                    self.wit,
+                    defined_u8,
+                    kinds[pos:end],
+                    solves[pos:end],
+                    a[pos:end],
+                    b[pos:end],
+                    c[pos:end],
+                    out[pos:end],
+                )
+                if err >= 0:
+                    r = pos + int(err)
+                    raise WitnessConflict(
+                        f"alu row {r} (kind {kinds[r]}, solve {solves[r]}, "
+                        f"out wid {out[r]}) failed"
+                    )
+                pos = end
+
+        for lvl in levels:
+            hints = self.hints_by_level.get(lvl)
+            if hints:
+                flush(pos + int(np.searchsorted(levels_arr[pos:], lvl)))
+                self._run_hints(hints)
+            npos = self.npos_by_level.get(lvl)
+            if npos:
+                flush(
+                    pos
+                    + int(
+                        np.searchsorted(levels_arr[pos:], lvl, side="right")
+                    )
+                )
+                self._run_npos(npos)
+        flush(n)
+
+    def _run_hints(self, hints: list):
+        """Execute a level's hints; same-kind hints run as one vectorized
+        batch (the per-instance python closures dominated witness
+        generation for recursion-sized circuits)."""
+        E = self.c.ext
+        d = E.D
+        groups: dict[tuple, list] = {}
+        for h in hints:
+            groups.setdefault((h.kind, h.meta), []).append(h)
+        for (kind, meta), hs in groups.items():
+            if kind == "ext_decompose":
+                in_wids = np.asarray([h.inputs[0] for h in hs], dtype=np.int64)
+                vals = self.wit[in_wids]  # (k, D)
+                out_wids = np.asarray(
+                    [w for h in hs for w in h.outputs], dtype=np.int64
+                )
+                outs = np.zeros((len(hs) * d, d), dtype=U32)
+                outs[:, 0] = vals.reshape(-1)
+                self._scatter_checked(out_wids, outs)
+            elif kind == "bit_decompose":
+                in_wids = np.asarray([h.inputs[0] for h in hs], dtype=np.int64)
+                vals = self.wit[in_wids][:, 0]  # (k,) base coeff
+                shifts = np.arange(meta, dtype=U32)
+                bits = (vals[:, None] >> shifts[None, :]) & U32(1)
+                out_wids = np.asarray(
+                    [w for h in hs for w in h.outputs], dtype=np.int64
+                )
+                outs = np.zeros((len(hs) * meta, d), dtype=U32)
+                outs[:, 0] = bits.reshape(-1)
+                self._scatter_checked(out_wids, outs)
+            else:  # generic python hints
+                for h in hs:
+                    ins = [
+                        tuple(int(x) for x in self.wit[w]) for w in h.inputs
+                    ]
+                    for w, v in zip(h.outputs, h.fn(ins)):
+                        self.set_witness(w, v)
+
+    def _run_npos(self, calls: list):
+        """Execute a level's NPO calls; plugins exposing execute_batch run
+        all their calls in one vectorized invocation."""
+        groups: dict[str, list] = {}
+        for call in calls:
+            groups.setdefault(call.plugin.type_id, []).append(call)
+        for _tid, cs in groups.items():
+            plugin = cs[0].plugin
+            if hasattr(plugin, "execute_batch") and all(
+                self.npo_private.get(c.tag) is None for c in cs
+            ):
+                ins = np.stack(
+                    [
+                        np.concatenate([self.wit[w] for w in c.inputs])
+                        for c in cs
+                    ]
+                )
+                outs, records = plugin.execute_batch(ins)
+                n_out = len(cs[0].outputs)
+                d = self.c.ext.D
+                out_wids = np.asarray(
+                    [w for c in cs for w in c.outputs], dtype=np.int64
+                )
+                self._scatter_checked(
+                    out_wids, outs.reshape(len(cs) * n_out, d)
+                )
+                for c, rec in zip(cs, records):
+                    self.npo_records.setdefault(plugin.type_id, {})[
+                        c.op_id
+                    ] = rec
+            else:
+                for call in cs:
+                    ins = [self.wit[w].copy() for w in call.inputs]
+                    priv = self.npo_private.get(call.tag)
+                    outs, record = call.plugin.execute(
+                        call.config, ins, priv
+                    )
+                    for w, v in zip(call.outputs, outs):
+                        self.set_witness(w, v)
+                    self.npo_records.setdefault(call.plugin.type_id, {})[
+                        call.op_id
+                    ] = record
+
+    def _scatter_checked(self, wids: np.ndarray, values: np.ndarray):
+        """Batch set_witness tolerating intra-batch duplicate wids (DSU can
+        merge outputs of distinct hints/NPOs): duplicates and already-
+        defined slots must agree or WitnessConflict raises."""
+        uniq, first_idx, counts = np.unique(
+            wids, return_index=True, return_counts=True
+        )
+        if uniq.size != wids.size:
+            dup_wids = uniq[counts > 1]
+            for w in dup_wids:
+                rows = values[wids == w]
+                if not np.all(rows == rows[0]):
+                    raise WitnessConflict(
+                        f"duplicate batch write disagrees on witness {w}"
+                    )
+        already = self.defined[wids]
+        if np.any(already):
+            idx = np.nonzero(already)[0]
+            if not np.array_equal(self.wit[wids[idx]], values[idx]):
+                raise WitnessConflict(
+                    f"batch write disagrees on witness {wids[idx][0]}"
+                )
+        self.wit[wids] = values
+        self.defined[wids] = True
 
     def _scatter(self, wids: np.ndarray, values: np.ndarray):
         already = self.defined[wids]

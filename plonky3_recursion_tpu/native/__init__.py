@@ -86,8 +86,51 @@ def get_lib():
         ctypes.c_int,
         ctypes.c_uint64,
     ]
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.p3n_execute_alu.restype = ctypes.c_int64
+    lib.p3n_execute_alu.argtypes = [
+        ctypes.c_uint32,
+        ctypes.c_uint32,
+        ctypes.c_uint32,
+        ctypes.c_uint32,
+        ctypes.c_int,
+        u32p,
+        u8p,
+        u8p,
+        u8p,
+        i32p,
+        i32p,
+        i32p,
+        i32p,
+        ctypes.c_int64,
+    ]
     _lib = lib
     return lib
+
+
+def execute_alu_rows(field, ext_w, d, wit, defined, kinds, solves, a, b, c, out):
+    """Run a dependency-ordered ALU row range natively; returns failing row
+    index or -1.  Mutates wit/defined in place."""
+    import ctypes as ct
+
+    lib = get_lib()
+    return lib.p3n_execute_alu(
+        field.P,
+        field.NP,
+        field.R2,
+        ext_w,
+        d,
+        wit.ctypes.data_as(ct.POINTER(ct.c_uint32)),
+        defined.ctypes.data_as(ct.POINTER(ct.c_uint8)),
+        kinds.ctypes.data_as(ct.POINTER(ct.c_uint8)),
+        solves.ctypes.data_as(ct.POINTER(ct.c_uint8)),
+        a.ctypes.data_as(ct.POINTER(ct.c_int32)),
+        b.ctypes.data_as(ct.POINTER(ct.c_int32)),
+        c.ctypes.data_as(ct.POINTER(ct.c_int32)),
+        out.ctypes.data_as(ct.POINTER(ct.c_int32)),
+        len(kinds),
+    )
 
 
 def _ptr(arr: np.ndarray):

@@ -219,4 +219,150 @@ uint64_t p3n_challenger_grind(void* h, int bits, uint64_t start) {
   }
 }
 
+// ----- circuit ALU executor (the witness-generation hot loop) -----
+//
+// Executes a contiguous, dependency-ordered run of ALU rows over the
+// extension-field witness table: the C++ face of CircuitRunner (the
+// reference's runner is Rust; SURVEY.md §2.1 `execute_all`).  Values are
+// D-coefficient canonical u32 tuples with binomial reduction x^D = W.
+// kinds: 0=add 1=mul 2=muladd 3=bool; solve: 0=out 1=a 2=check.
+// Returns -1 on success or the failing row index (conflict/check error).
+
+struct P3ExtField {
+  P3Field f;
+  int d;
+  uint32_t w;  // binomial W
+};
+
+static void ext_mul(const P3ExtField* e, const uint32_t* a, const uint32_t* b,
+                    uint32_t* out) {
+  const P3Field* f = &e->f;
+  int d = e->d;
+  uint32_t lo[16] = {0}, hi[16] = {0};
+  for (int i = 0; i < d; i++)
+    for (int j = 0; j < d; j++) {
+      uint32_t t = mulmod(f, a[i], b[j]);
+      int k = i + j;
+      if (k < d)
+        lo[k] = addmod(f, lo[k], t);
+      else
+        hi[k - d] = addmod(f, hi[k - d], t);
+    }
+  for (int k = 0; k < d; k++)
+    out[k] = addmod(f, lo[k], mulmod(f, e->w, hi[k]));
+}
+
+static void ext_inv(const P3ExtField* e, const uint32_t* a, uint32_t* out) {
+  const P3Field* f = &e->f;
+  int d = e->d;
+  // conj = prod of frobenius images a^(p^k), k=1..d-1; frobenius scales
+  // coeff i by (W^((p-1)/d))^(i*k)
+  uint64_t p = f->p;
+  uint64_t c0 = 1;
+  {  // c0 = W^((p-1)/d) via pow
+    uint64_t base = e->w % p, ex = (p - 1) / d, r = 1;
+    while (ex) {
+      if (ex & 1) r = r * base % p;
+      base = base * base % p;
+      ex >>= 1;
+    }
+    c0 = r;
+  }
+  uint32_t conj[16], tmp[16], img[16];
+  bool first = true;
+  for (int k = 1; k < d; k++) {
+    uint64_t ck = 1;
+    for (int i = 0; i < d; i++) {
+      img[i] = mulmod(f, a[i], (uint32_t)ck);
+      // next coefficient scale: ck *= c0^k
+      uint64_t step = 1, b2 = c0, ex = k;
+      while (ex) {
+        if (ex & 1) step = step * b2 % p;
+        b2 = b2 * b2 % p;
+        ex >>= 1;
+      }
+      ck = ck * step % p;
+    }
+    if (first) {
+      std::memcpy(conj, img, sizeof(uint32_t) * d);
+      first = false;
+    } else {
+      ext_mul(e, conj, img, tmp);
+      std::memcpy(conj, tmp, sizeof(uint32_t) * d);
+    }
+  }
+  ext_mul(e, a, conj, tmp);  // norm in base field at coeff 0
+  // base inverse via Fermat
+  uint64_t base = tmp[0] % p, ex = p - 2, r = 1;
+  while (ex) {
+    if (ex & 1) r = r * base % p;
+    base = base * base % p;
+    ex >>= 1;
+  }
+  for (int i = 0; i < d; i++) out[i] = mulmod(f, conj[i], (uint32_t)r);
+}
+
+int64_t p3n_execute_alu(uint32_t p, uint32_t np_, uint32_t r2, uint32_t w,
+                        int d, uint32_t* wit, uint8_t* defined,
+                        const uint8_t* kinds, const uint8_t* solves,
+                        const int32_t* ra, const int32_t* rb,
+                        const int32_t* rc, const int32_t* rout,
+                        int64_t n_rows) {
+  P3ExtField e{{p, np_, r2}, d, w};
+  const P3Field* f = &e.f;
+  uint32_t res[16], tmp[16];
+  for (int64_t i = 0; i < n_rows; i++) {
+    uint32_t* va = wit + (int64_t)ra[i] * d;
+    uint32_t* vb = wit + (int64_t)rb[i] * d;
+    uint32_t* vc = wit + (int64_t)rc[i] * d;
+    uint32_t* vo = wit + (int64_t)rout[i] * d;
+    int kind = kinds[i];
+    int solve = solves[i];
+    if (kind == 3) {  // bool check on a
+      ext_mul(&e, va, va, res);
+      for (int j = 0; j < d; j++)
+        if (res[j] != va[j]) return i;
+      continue;
+    }
+    if (solve == 1) {  // solve slot a
+      if (kind == 0) {  // a = out - b
+        for (int j = 0; j < d; j++) res[j] = submod(f, vo[j], vb[j]);
+      } else {  // a = out / b
+        ext_inv(&e, vb, tmp);
+        ext_mul(&e, vo, tmp, res);
+      }
+      uint32_t* tgt = va;
+      if (defined[ra[i]]) {
+        for (int j = 0; j < d; j++)
+          if (tgt[j] != res[j]) return i;
+      } else {
+        std::memcpy(tgt, res, sizeof(uint32_t) * d);
+        defined[ra[i]] = 1;
+      }
+      continue;
+    }
+    if (kind == 0) {
+      for (int j = 0; j < d; j++) res[j] = addmod(f, va[j], vb[j]);
+    } else if (kind == 1) {
+      ext_mul(&e, va, vb, res);
+    } else {  // muladd
+      ext_mul(&e, va, vb, res);
+      for (int j = 0; j < d; j++) res[j] = addmod(f, res[j], vc[j]);
+    }
+    if (solve == 0) {
+      if (defined[rout[i]]) {
+        for (int j = 0; j < d; j++)
+          if (vo[j] != res[j]) return i;
+      } else {
+        std::memcpy(vo, res, sizeof(uint32_t) * d);
+        defined[rout[i]] = 1;
+      }
+    } else {  // check row
+      for (int j = 0; j < d; j++)
+        if (vo[j] != res[j]) return i;
+    }
+  }
+  return -1;
+}
+
 }  // extern "C"

@@ -122,6 +122,12 @@ class Poseidon1Npo:
         out = permute(self.params, state[None, :], np)[0]
         return [out[4 * j : 4 * j + 4] for j in range(4)], state
 
+    def execute_batch(self, states: "np.ndarray"):
+        """Vectorized executor: (k, 16) input states -> ((k, 4, 4) ext
+        outputs, per-call records)."""
+        outs = permute(self.params, states.astype(U32), np)
+        return outs.reshape(-1, 4, self.d), [s for s in states]
+
     @property
     def rows_per_perm(self) -> int:
         return 1 + self.params.full_rounds + self.params.partial_rounds

@@ -156,6 +156,28 @@ class Poseidon2Npo:
         outs = [out[4 * j : 4 * j + 4] for j in range(4)]
         return outs, state
 
+    def execute_batch(self, states: "np.ndarray"):
+        """Vectorized executor: (k, 16) input states -> ((k, 4, 4) ext
+        outputs, per-call records).  Uses the C++ permutation when the
+        native library is available."""
+        states = states.astype(U32)
+        native = self._native_perm()
+        if native is not None:
+            outs = native.permute(states)
+        else:
+            outs = permute(self.params, states, np)
+        return outs.reshape(-1, 4, self.d), [s for s in states]
+
+    def _native_perm(self):
+        if not hasattr(self, "_np_perm"):
+            try:
+                from ..native import NativePoseidon2
+
+                self._np_perm = NativePoseidon2(self.params)
+            except Exception:
+                self._np_perm = None
+        return self._np_perm
+
     # ----- prover-side plugin API -----
 
     @property
