@@ -30,6 +30,26 @@ from ..fields.monty31 import Monty31, U32
 from ..ops.poseidon2 import Poseidon2Params, permute, poseidon2_params
 
 
+_PERM_CACHE: dict = {}
+
+
+def _default_perm_fn(params):
+    """C++ permutation when the native library builds; numpy otherwise.
+    Both are bit-identical (tests/test_native.py)."""
+    key = id(params)
+    fn = _PERM_CACHE.get(key)
+    if fn is None:
+        try:
+            from ..native import NativePoseidon2
+
+            native = NativePoseidon2(params)
+            fn = native.permute
+        except Exception:
+            fn = lambda s: permute(params, s, np)  # noqa: E731
+        _PERM_CACHE[key] = fn
+    return fn
+
+
 class DuplexChallenger:
     WIDTH = 16
     RATE = 8
@@ -45,9 +65,7 @@ class DuplexChallenger:
         `circuit/src/ops/perm.rs:19`); defaults to Poseidon2."""
         self.field = field
         self.params = params or poseidon2_params(field, self.WIDTH)
-        self.perm_fn = perm_fn or (
-            lambda s: permute(self.params, s, np)
-        )
+        self.perm_fn = perm_fn or _default_perm_fn(self.params)
         self.state = np.zeros(self.WIDTH, dtype=U32)
         self.input_buffer: list[int] = []
         self.output_buffer: list[int] = []
