@@ -208,11 +208,12 @@ def prove_batch(
         }
         if pcs.use_jit:
             perm, term = _perm_cols_jit(config, inst, names, challenges)
+            perm_mats.append((i, perm))  # device-resident
         else:
             perm, term = generate_perm_columns(
                 F, E, inst.lookups, tb, n, challenges, xp
             )
-        perm_mats.append((i, np.asarray(perm)))
+            perm_mats.append((i, np.asarray(perm)))
         terminals.append((i, np.asarray(term)))
     if debug_lookups and terminals:
         check_lookups_balance([t for _i, t in terminals], E)
@@ -587,7 +588,7 @@ def _perm_cols_jit(config, inst, names, challenges):
         [challenges[nm][j] for nm in names for j in (0, 1)]
     ).astype(U32)
     perm, term = fn(np.asarray(inst.trace, dtype=U32), prep, chal)
-    return np.asarray(perm), np.asarray(term)
+    return perm, np.asarray(term)  # perm stays device-resident
 
 
 def _quotient_jit(config, inst, builder, shape, names, challenges, alpha, pm, term):
@@ -677,7 +678,10 @@ def _quotient_jit(config, inst, builder, shape, names, challenges, alpha, pm, te
     term_arr = (
         np.asarray(term, dtype=U32) if term is not None else np.zeros(E.D, dtype=U32)
     )
-    q = fn(
+    # stays device-resident: the quotient chunks are committed (and only
+    # committed) on device, so downloading here would round-trip ~MBs per
+    # instance through the interconnect for nothing
+    return fn(
         np.asarray(inst.trace, dtype=U32),
         prep,
         perm_flat,
@@ -686,4 +690,3 @@ def _quotient_jit(config, inst, builder, shape, names, challenges, alpha, pm, te
         term_arr,
         np.asarray(alpha, dtype=U32),
     )
-    return np.asarray(q)

@@ -150,10 +150,11 @@ class MerkleMmcs:
         return bool(np.array_equal(node, np.asarray(commitment, dtype=U32)))
 
 
-def flatten_ext_matrix(m_ext: np.ndarray) -> np.ndarray:
-    """(H, W, D) extension matrix -> (H, W*D) base matrix (ExtensionMmcs)."""
+def flatten_ext_matrix(m_ext) -> np.ndarray:
+    """(H, W, D) extension matrix -> (H, W*D) base matrix (ExtensionMmcs).
+    Preserves the array's device placement (no forced host copy)."""
     h, w, d = m_ext.shape
-    return np.asarray(m_ext).reshape(h, w * d)
+    return m_ext.reshape(h, w * d)
 
 
 def unflatten_ext_row(row: np.ndarray, d: int) -> np.ndarray:
