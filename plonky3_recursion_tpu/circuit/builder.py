@@ -181,7 +181,16 @@ class CircuitBuilder:
 
     def decompose_to_bits(self, x: int, n_bits: int) -> list[int]:
         """Hint n_bits booleans with Σ b_i·2^i == x (constrains x to be a
-        base-embedded value < 2^n_bits; reference BinaryDecompositionHint)."""
+        base-embedded value < 2^n_bits; reference BinaryDecompositionHint).
+
+        Known (inherited) slack: with n_bits = 31 the decomposition is
+        constrained mod p but NOT to be canonical — for sampled v in
+        [0, 2^31 − p) a malicious prover may witness v + p instead,
+        flipping in-circuit FRI query-index bits / PoW checks for ~1/128
+        of samples on KoalaBear.  This matches the reference construction
+        exactly (circuit_builder.rs:1066) and the security argument there:
+        query indices remain challenger-derived, the prover merely picks
+        among two valid encodings, which does not help it forge openings."""
         p = self.E.base.P
         d = self.E.D
 

@@ -436,6 +436,15 @@ def _verify_fri_circuit(config, b, al, ch, mmcs, rounds, P):
     ]
     log_max = max(heights)
     log_final = P.log_final_poly_len + P.log_blowup
+    # Static soundness check (mirrors TwoAdicFriPcs.verify): any matrix
+    # below the final fold height would have its reduced openings silently
+    # dropped by the fold chain — unconstrained claimed values.  Heights
+    # are circuit-shape constants, so this is a build-time rejection.
+    if min(heights) < log_final:
+        raise ValueError(
+            "proof shape has a matrix below the FRI final fold height; "
+            "its openings would be unconstrained in-circuit"
+        )
     schedule = fri_phase_schedule(P, log_max, tuple(set(heights)))
     offsets = []
     _off = 0

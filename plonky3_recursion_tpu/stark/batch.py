@@ -368,6 +368,9 @@ def verify_batch(
 ) -> bool:
     F, E, pcs = config.field, config.ext, config.pcs
     p = F.P
+    from ..utils.serde import validate_batch_proof
+
+    validate_batch_proof(proof, config)
     names = sorted({lk.name for _a, lks in airs_lookups for lk in lks})
     challenge_idx = {nm: 2 * i for i, nm in enumerate(names)}
     shapes = proof.shapes

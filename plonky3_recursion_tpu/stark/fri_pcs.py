@@ -362,6 +362,10 @@ class TwoAdicFriPcs:
         # `a` iterated 2-folds with β, β², β⁴, …)
         log_max = max(acc)
         log_final = P.log_final_poly_len + P.log_blowup
+        assert min(acc) >= log_final, (
+            "committed matrix below FRI final fold height — its openings "
+            "would be unconstrained (raise min_trace_height)"
+        )
         schedule = fri_phase_schedule(P, log_max, tuple(acc))
         folded = acc[log_max]
         shift = F.generator
@@ -521,6 +525,10 @@ class TwoAdicFriPcs:
         # 4. commit phase (folded stays on device; variable arity)
         log_max = max(acc)
         log_final = P.log_final_poly_len + P.log_blowup
+        assert min(acc) >= log_final, (
+            "committed matrix below FRI final fold height — its openings "
+            "would be unconstrained (raise min_trace_height)"
+        )
         schedule = fri_phase_schedule(P, log_max, tuple(acc))
         folded = acc[log_max]
         shift = F.generator
@@ -652,6 +660,33 @@ class TwoAdicFriPcs:
         [(ζ (D,), claimed (w, D)), ...]).  Raises on failure.
         """
         F, E, P = self.F, self.E, self.params
+        log_final = P.log_final_poly_len + P.log_blowup
+        # Soundness shape checks BEFORE any transcript interaction:
+        # (a) the final polynomial must have exactly 2^log_final_poly_len
+        #     coefficients (reference recursion/src/pcs/fri/verifier.rs:
+        #     1511-1517) — a longer poly can interpolate ANY function on
+        #     the final fold domain, voiding the low-degree test;
+        # (b) every committed matrix must live at height >= log_final —
+        #     reduced openings below the final fold height are never
+        #     consumed by the fold chain, so their claimed values would be
+        #     completely unconstrained (reference zero-constrains them,
+        #     verifier.rs:1641-1645; we reject outright, which is strictly
+        #     stronger and matches the prover-side min-height guard).
+        fc = np.asarray(proof.final_coeffs)
+        if fc.shape[0] != 1 << P.log_final_poly_len:
+            raise ValueError(
+                f"final poly has {fc.shape[0]} coeffs, expected "
+                f"{1 << P.log_final_poly_len}"
+            )
+        if np.any(fc >= F.P):
+            raise ValueError("final poly coefficients out of field range")
+        for _com, mats in rounds:
+            for log_n, _pts in mats:
+                if log_n + P.log_blowup < log_final:
+                    raise ValueError(
+                        f"matrix height 2^{log_n} below FRI minimum "
+                        f"2^{P.log_final_poly_len} (unconstrained openings)"
+                    )
         # 1-2. replay opened values, sample alpha
         for _com, mats in rounds:
             for _log_n, pts in mats:
@@ -675,7 +710,6 @@ class TwoAdicFriPcs:
             log_n + P.log_blowup for _c, mats in rounds for log_n, _p in mats
         ]
         log_max = max(heights)
-        log_final = P.log_final_poly_len + P.log_blowup
         schedule = fri_phase_schedule(P, log_max, tuple(set(heights)))
         if len(proof.commit_digests) != len(schedule):
             raise ValueError("wrong number of FRI phases")

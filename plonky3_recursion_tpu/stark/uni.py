@@ -196,6 +196,11 @@ def verify(config: StarkConfig, air: Air, proof: UniProof, publics) -> bool:
         raise ValueError("wrong number of quotient chunks")
     if np.asarray(proof.trace_local).shape != (air.width_main, E.D):
         raise ValueError("wrong trace opening shape")
+    if np.asarray(proof.trace_next).shape != (air.width_main, E.D):
+        raise ValueError("wrong trace_next opening shape")
+    for c in proof.quotient_chunks:
+        if np.asarray(c).shape != (E.D, E.D):
+            raise ValueError("wrong quotient chunk shape")
     ch = config.challenger()
     ch.observe(log_n)
     ch.observe_slice(proof.trace_commit)

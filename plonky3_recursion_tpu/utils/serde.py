@@ -177,9 +177,19 @@ def batch_proof_from_bytes(data: bytes) -> BatchProof:
     return proof
 
 
-def validate_batch_proof(proof: BatchProof):
-    """Structural shape checks before any use (reference `validate()`)."""
+def validate_batch_proof(proof: BatchProof, config=None):
+    """Structural shape checks before any use (reference `validate()`,
+    `circuit-prover/src/batch_stark_prover.rs:670`).
+
+    Without `config` only self-consistency is checked (the extension
+    degree is inferred from the proof).  With a StarkConfig, the checks
+    bind to the verifier's own parameters: d == E.D, final_coeffs shape
+    == (2^log_final_poly_len, E.D) with canonical values < P, digest
+    widths, and prep/perm opening shapes.
+    """
     d = None
+    if config is not None:
+        d = config.ext.D
     for i, (a, b) in enumerate(proof.trace_openings):
         s = proof.shapes[i]
         a, b = np.asarray(a), np.asarray(b)
@@ -195,9 +205,40 @@ def validate_batch_proof(proof: BatchProof):
         for c in chunks:
             if np.asarray(c).shape != (d, d):
                 raise ValueError(f"instance {i}: chunk shape")
-    for arr in (proof.trace_commit, proof.quotient_commit):
+    shape_by_idx = {i: s for i, s in enumerate(proof.shapes)}
+    for i, a, b in proof.prep_openings:
+        s = shape_by_idx.get(i)
+        if s is None:
+            raise ValueError(f"prep opening for unknown instance {i}")
+        for arr in (np.asarray(a), np.asarray(b)):
+            if arr.shape != (s.width_prep, d):
+                raise ValueError(f"prep opening {i} shape {arr.shape}")
+    for i, a, b in proof.perm_openings:
+        s = shape_by_idx.get(i)
+        if s is None:
+            raise ValueError(f"perm opening for unknown instance {i}")
+        for arr in (np.asarray(a), np.asarray(b)):
+            if arr.shape != (s.num_perm_cols * d, d):
+                raise ValueError(f"perm opening {i} shape {arr.shape}")
+    commits = [proof.trace_commit, proof.quotient_commit] + list(
+        proof.fri.commit_digests
+    )
+    if proof.perm_commit is not None:
+        commits.append(proof.perm_commit)
+    for arr in commits:
         if np.asarray(arr).shape != (8,):
             raise ValueError("bad commitment shape")
-    if np.any(np.asarray(proof.fri.final_coeffs) >= (1 << 31)):
+    fc = np.asarray(proof.fri.final_coeffs)
+    p_bound = config.field.P if config is not None else (1 << 31)
+    if np.any(fc >= p_bound):
         raise ValueError("final coeffs out of field range")
+    if config is not None:
+        P = config.pcs.params
+        if fc.shape != (1 << P.log_final_poly_len, d):
+            raise ValueError(
+                f"final poly shape {fc.shape}, expected "
+                f"({1 << P.log_final_poly_len}, {d})"
+            )
+        if len(proof.fri.query_proofs) != P.num_queries:
+            raise ValueError("wrong number of query proofs")
     return True

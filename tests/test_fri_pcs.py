@@ -178,3 +178,67 @@ def test_nonstandard_shift_commit(rng):
     opened, proof = pcs.open([(data, [[z]])], ch)
     rv = [(data.commitment, [(3, [(z, opened[0][0][0])])])]
     assert pcs.verify(rv, proof, DuplexChallenger(F))
+
+
+def test_overlong_final_poly_rejected(rng):
+    """ADVICE r1 high #1: a final polynomial longer than
+    2^log_final_poly_len can interpolate anything on the final fold
+    domain — must be rejected before any transcript interaction
+    (reference recursion/src/pcs/fri/verifier.rs:1511-1517)."""
+    F = KOALA_BEAR
+    params = FriParams(log_blowup=1, log_final_poly_len=1, num_queries=4)
+    pcs, E = make_pcs(F, params=params)
+    data, points = random_round(pcs, F, E, rng, [(16, 2)])
+    ch = DuplexChallenger(F)
+    opened, proof = pcs.open([(data, points)], ch)
+    rv = [
+        (
+            data.commitment,
+            [
+                (m.log_n, list(zip(pts, vals)))
+                for m, pts, vals in zip(data.matrices, points, opened[0])
+            ],
+        )
+    ]
+    assert pcs.verify(rv, proof, DuplexChallenger(F))
+    # pad the final poly with an extra coefficient row
+    fc = np.asarray(proof.final_coeffs)
+    bad_fc = np.concatenate([fc, fc[:1]], axis=0)
+    bad = dataclasses.replace(proof, final_coeffs=bad_fc)
+    with pytest.raises(ValueError, match="final poly"):
+        pcs.verify(rv, bad, DuplexChallenger(F))
+    # non-canonical coefficient also rejected
+    bad_fc2 = fc.copy()
+    bad_fc2[0, 0] = F.P
+    bad2 = dataclasses.replace(proof, final_coeffs=bad_fc2)
+    with pytest.raises(ValueError, match="field range"):
+        pcs.verify(rv, bad2, DuplexChallenger(F))
+
+
+def test_matrix_below_final_fold_height_rejected(rng):
+    """ADVICE r1 high #2: openings of a matrix whose LDE height is below
+    the final fold height are never consumed by the fold chain — the
+    verifier must reject such proof shapes outright (reference
+    zero-constrains them, verifier.rs:1641-1645)."""
+    F = KOALA_BEAR
+    params = FriParams(log_blowup=1, log_final_poly_len=3, num_queries=4)
+    pcs, E = make_pcs(F, params=params)
+    # heights: 2^6 LDE (ok) + 2^3 LDE (below final fold height 2^4)
+    mats = [(1, F.rand(rng, (32, 2))), (1, F.rand(rng, (4, 2)))]
+    # prover-side guard fires
+    data = pcs.commit(mats)
+    points = [[E.rand(rng, ())] for _ in mats]
+    with pytest.raises(AssertionError, match="final fold height"):
+        pcs.open([(data, points)], DuplexChallenger(F))
+    # verifier-side guard fires on a crafted proof shape, regardless of
+    # what the prover produced
+    big = pcs.commit([mats[0]])
+    opened, proof = pcs.open([(big, [points[0]])], DuplexChallenger(F))
+    z = points[1][0]
+    forged_claim = E.rand(rng, (2,))  # arbitrary (w=2, D) claimed opening
+    rv = [
+        (big.commitment, [(5, list(zip([points[0][0]], opened[0][0])))]),
+        (data.commitment, [(2, [(z, forged_claim)])]),
+    ]
+    with pytest.raises(ValueError, match="below FRI minimum"):
+        pcs.verify(rv, proof, DuplexChallenger(F))
