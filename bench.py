@@ -1,21 +1,28 @@
-"""Benchmark: Fibonacci batch-stark circuit proof (reference headline).
+"""Benchmark: one full recursion layer at STANDARD reference params.
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
-Baseline: 42.6 ms — the reference's Fibonacci base batch-stark proof,
-n=10,000, KoalaBear D=4, default params, Apple M4 Pro 14 cores
-(BASELINE.md, `book/src/appendix/benchmark.md:57-58`).
+Metric: `prove_next_layer` wall time — verify a Fibonacci (n=10,000)
+batch-stark proof in-circuit and re-prove it, at the reference's example
+defaults (log_blowup=2, 54 queries, max_log_arity=2, log_final_poly_len=5,
+query_pow_bits=15; `recursive_fibonacci.rs:72-107`).
+
+Baseline: 147 ms — the reference's Fibonacci 1st–2nd recursion layer on
+an Apple M4 Pro 14 cores (BASELINE.md, `book/src/appendix/benchmark.md:59`).
 `vs_baseline` is the speedup factor baseline_ms / measured_ms (>1 beats
 the reference).
+
+Secondary numbers (stderr): base-proof time vs its 42.6 ms baseline, and
+Poseidon2 perms/s/chip.
 """
 
 import json
 import os
+import sys
 import time
 
-import numpy as np
-
-BASELINE_MS = 42.6
+LAYER_BASELINE_MS = 147.0
+BASE_BASELINE_MS = 42.6
 N = 10_000
 
 
@@ -30,6 +37,10 @@ def _setup_jax_cache():
         pass
 
 
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
 def main():
     _setup_jax_cache()
     from plonky3_recursion_tpu.circuit import CircuitBuilder
@@ -38,10 +49,18 @@ def main():
         BatchStarkProver,
         circuit_prover_data,
     )
+    from plonky3_recursion_tpu.recursion.recursion import (
+        RecursionInput,
+        build_next_layer_prep,
+        prove_next_layer,
+    )
     from plonky3_recursion_tpu.stark.fri_pcs import FriParams
     from plonky3_recursion_tpu.stark.uni import koala_bear_config
 
+    config = koala_bear_config(FriParams.standard(124), use_jit=True)
     E4 = ext_field(KOALA_BEAR, 4)
+
+    # ---- base: Fibonacci n=10,000 batch-stark proof ----
     b = CircuitBuilder(E4)
     a = b.public_input()
     bb = b.public_input()
@@ -50,31 +69,82 @@ def main():
         a, bb = bb, b.add(a, bb)
     b.connect(bb, res)
     circuit = b.build()
-    config = koala_bear_config(FriParams.standard(124), use_jit=True)
     pdata = circuit_prover_data(config, circuit)
     x, y = 0, 1
     for _ in range(N):
         x, y = y, (x + y) % KOALA_BEAR.P
-    runner = circuit.runner()
-    runner.set_public_inputs([0, 1, y])
-    traces = runner.run()
     prover = BatchStarkProver(config)
-    # one warmup (caches twiddle/selector tables), then the measured run
-    prover.prove_all_tables(circuit, traces, pdata)
-    runner2 = circuit.runner()
-    runner2.set_public_inputs([0, 1, y])
-    t0 = time.time()
-    traces2 = runner2.run()
-    proof = prover.prove_all_tables(circuit, traces2, pdata)
-    ms = (time.time() - t0) * 1e3
+
+    def run_base():
+        runner = circuit.runner()
+        runner.set_public_inputs([0, 1, y])
+        t0 = time.time()
+        traces = runner.run()
+        proof = prover.prove_all_tables(circuit, traces, pdata)
+        return (time.time() - t0) * 1e3, proof
+
+    _ms, proof = run_base()  # warmup/compile
+    base_ms, proof = run_base()
     prover.verify_all_tables(circuit, proof, pdata)
+    log(
+        f"[base] fib10k batch prove {base_ms:.1f} ms "
+        f"(reference {BASE_BASELINE_MS} ms, x{BASE_BASELINE_MS / base_ms:.3f})"
+    )
+
+    # ---- layer: recursively verify + re-prove at standard params ----
+    inner = RecursionInput(proof, circuit, pdata)
+    t0 = time.time()
+    prep = build_next_layer_prep(config, inner)
+    log(
+        f"[prep] layer circuit: {len(prep.circuit.alu_rows)} alu rows, "
+        f"{len(prep.circuit.npo_calls)} perms "
+        f"(built in {time.time() - t0:.1f}s)"
+    )
+    prove_next_layer(config, prep, proof)  # warmup/compile
+    t0 = time.time()
+    layer_proof = prove_next_layer(config, prep, proof)
+    layer_ms = (time.time() - t0) * 1e3
+    BatchStarkProver(config).verify_all_tables(
+        prep.circuit, layer_proof, prep.pdata
+    )
+    log(
+        f"[layer] prove_next_layer {layer_ms:.1f} ms "
+        f"(reference {LAYER_BASELINE_MS} ms, "
+        f"x{LAYER_BASELINE_MS / layer_ms:.3f})"
+    )
+
+    # ---- Poseidon2 throughput (perms/s/chip) ----
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        from plonky3_recursion_tpu.ops.poseidon2 import (
+            permute,
+            poseidon2_params,
+        )
+
+        params16 = poseidon2_params(KOALA_BEAR, 16)
+        batch = 1 << 16
+        states = jnp.zeros((batch, 16), dtype=jnp.uint32)
+        fn = jax.jit(lambda s: permute(params16, s, jnp))
+        fn(states).block_until_ready()
+        t0 = time.time()
+        reps = 8
+        for _ in range(reps):
+            states = fn(states)
+        states.block_until_ready()
+        dt = time.time() - t0
+        log(f"[perm] Poseidon2 W16 {reps * batch / dt / 1e6:.2f} M perms/s")
+    except Exception as e:  # throughput probe must never fail the bench
+        log(f"[perm] skipped: {e}")
+
     print(
         json.dumps(
             {
-                "metric": "fib10k_batch_stark_prove",
-                "value": round(ms, 1),
+                "metric": "fib_recursion_layer",
+                "value": round(layer_ms, 1),
                 "unit": "ms",
-                "vs_baseline": round(BASELINE_MS / ms, 4),
+                "vs_baseline": round(LAYER_BASELINE_MS / layer_ms, 4),
             }
         )
     )

@@ -38,14 +38,25 @@ class HintDecl:
 
 @dataclasses.dataclass
 class NpoCall:
-    """An instance of a registered non-primitive operation."""
+    """An instance of a registered non-primitive operation.
+
+    Chained perm calls (reference `PermCall`, `circuit/src/ops/perm.rs:105`)
+    extend the plain all-in/all-out form: `inputs`/`outputs` entries may be
+    None (the value chains in-table from the previous call of the same
+    `chain`, or is prover private data such as a Merkle sibling), and
+    `sum_out` optionally exposes the in-table MMCS index accumulator."""
 
     plugin: object  # NpoPlugin
     config: object
-    inputs: list  # list[ExprId]
-    outputs: list  # list[ExprId] (NPO_OUT nodes)
+    inputs: list  # list[ExprId | None]
+    outputs: list  # list[ExprId | None] (NPO_OUT nodes)
     op_id: int
     tag: object = None
+    new_start: bool = True
+    merkle_path: bool = False
+    chain: object = None  # chain key; same-key calls form one in-table chain
+    prev_op: int | None = None  # previous call op_id on the same chain
+    sum_out: int | None = None  # ExprId of the bound mmcs_index_sum
 
 
 class CircuitBuilder:
@@ -60,6 +71,9 @@ class CircuitBuilder:
         self._scopes: list[str] = []
         self.enabled_ops: dict[str, object] = {}
         self.op_counts: dict[str, dict[str, int]] = {}
+        self._chain_last: dict = {}  # chain key -> last perm_call op_id
+        self._chain_counter = 0
+        self.recompose_src: dict = {}  # recomposed ext eid -> coeff eids
 
     # ----- leaf construction -----
 
@@ -223,6 +237,9 @@ class CircuitBuilder:
         for d2, c in enumerate(coeffs):
             basis = tuple(1 if j == d2 else 0 for j in range(self.E.D))
             acc = self.mul_add(c, self.const(basis), acc)
+        # remember the coefficient sources (transcript replay + challenger
+        # coefficient-level observation of recomposed wires)
+        self.recompose_src[acc] = list(coeffs)
         return acc
 
     def decompose_ext_to_base_coeffs(self, x: int) -> list[int]:
@@ -254,6 +271,73 @@ class CircuitBuilder:
         outputs = [self.g.npo_out(op_id, k) for k in range(n_out)]
         self.npos.append(NpoCall(plugin, config, list(inputs), outputs, op_id, tag))
         return outputs
+
+    def perm_call(
+        self,
+        type_id: str,
+        inputs: list,
+        out_ctl: list,
+        *,
+        new_start: bool = True,
+        merkle_path: bool = False,
+        bind_sum: bool = False,
+        chain=None,
+        tag=None,
+    ):
+        """Add one chained permutation row block (reference `add_perm`,
+        `circuit/src/ops/perm.rs:130`).
+
+        inputs: per ext limb, an ExprId to CTL in, or None (value chains
+        in-table from the previous call of `chain`, or is private sibling
+        data on merkle rows); out_ctl: per limb, whether to expose the
+        output limb as a wire.  Consecutive calls sharing `chain` occupy
+        adjacent table row blocks so the chaining constraints bind them.
+        Returns (outputs, sum_wire)."""
+        plugin, config = self.enabled_ops[type_id]
+        op_id = len(self.npos)
+        outputs = [
+            self.g.npo_out(op_id, k) if out_ctl[k] else None
+            for k in range(len(out_ctl))
+        ]
+        if chain is None:
+            chain = ("solo", op_id)
+        prev_op = self._chain_last.get(chain)
+        if new_start:
+            assert prev_op is None or not merkle_path, (
+                "a merkle row never starts a chain"
+            )
+        else:
+            assert prev_op is not None, f"chain {chain} has no previous call"
+        call = NpoCall(
+            plugin,
+            config,
+            list(inputs),
+            outputs,
+            op_id,
+            tag,
+            new_start=new_start,
+            merkle_path=merkle_path,
+            chain=chain,
+            prev_op=prev_op,
+        )
+        if bind_sum:
+            call.sum_out = self.g.npo_out(op_id, len(out_ctl))
+        self._chain_last[chain] = op_id
+        self.npos.append(call)
+        return outputs, call.sum_out
+
+    def new_chain(self, label: str = "chain"):
+        """Fresh chain key for perm_call (unique per builder)."""
+        self._chain_counter += 1
+        return (label, self._chain_counter)
+
+    def npo_out_wire(self, op_id: int, limb: int) -> int:
+        """Lazily expose output limb `limb` of an earlier perm_call (used by
+        the chained challenger to out-CTL a limb only when it is sampled)."""
+        call = self.npos[op_id]
+        if call.outputs[limb] is None:
+            call.outputs[limb] = self.g.npo_out(op_id, limb)
+        return call.outputs[limb]
 
     # ----- tags / scopes / profiling -----
 

@@ -88,11 +88,17 @@ class HintOp:
 class NpoInstance:
     plugin: object
     config: object
-    inputs: list  # wids
-    outputs: list  # wids
+    inputs: list  # wids (None = chained / private slot)
+    outputs: list  # wids (None = output not exposed)
     op_id: int
     tag: object = None
     level: int = -1
+    new_start: bool = True
+    merkle_path: bool = False
+    chain: object = None
+    prev_op: int | None = None
+    sum_out: int | None = None  # wid of the bound mmcs_index_sum
+    sum_mult: int = 0
 
 
 @dataclasses.dataclass
@@ -245,10 +251,15 @@ def compile_circuit(builder) -> Circuit:
         NpoInstance(
             c.plugin,
             c.config,
-            [wid_of_node[e] for e in c.inputs],
-            [wid_of_node[e] for e in c.outputs],
+            [None if e is None else wid_of_node[e] for e in c.inputs],
+            [None if e is None else wid_of_node[e] for e in c.outputs],
             c.op_id,
             c.tag,
+            new_start=c.new_start,
+            merkle_path=c.merkle_path,
+            chain=c.chain,
+            prev_op=c.prev_op,
+            sum_out=None if c.sum_out is None else wid_of_node[c.sum_out],
         )
         for c in builder.npos
     ]
@@ -281,6 +292,7 @@ def compile_circuit(builder) -> Circuit:
     ]
     pending_hints = list(hint_ops)
     pending_npos = list(npo_calls)
+    npo_by_op = {c.op_id: c for c in npo_calls}
     progress = True
     while (pending_alu or pending_hints or pending_npos) and progress:
         progress = False
@@ -312,12 +324,16 @@ def compile_circuit(builder) -> Circuit:
         pending_hints = next_h
         next_n = []
         for c in pending_npos:
-            if all(level_of_wid[w] >= 0 for w in c.inputs):
-                c.level = 1 + max(
-                    (int(level_of_wid[w]) for w in c.inputs), default=0
-                )
-                for w in c.outputs:
-                    if level_of_wid[w] < 0:
+            in_wids = [w for w in c.inputs if w is not None]
+            prev = npo_by_op.get(c.prev_op) if c.prev_op is not None else None
+            prev_ready = prev is None or prev.level >= 0
+            if prev_ready and all(level_of_wid[w] >= 0 for w in in_wids):
+                deps = [int(level_of_wid[w]) for w in in_wids]
+                if prev is not None:
+                    deps.append(prev.level)
+                c.level = 1 + max(deps, default=0)
+                for w in c.outputs + [c.sum_out]:
+                    if w is not None and level_of_wid[w] < 0:
                         level_of_wid[w] = c.level
                 progress = True
             else:
@@ -354,9 +370,13 @@ def compile_circuit(builder) -> Circuit:
             touches[w].append(("alu", ri, s))
     for ni, c in enumerate(npo_calls):
         for pos, w in enumerate(c.inputs):
-            touches[w].append(("npo_in", ni, pos))
+            if w is not None:
+                touches[w].append(("npo_in", ni, pos))
         for pos, w in enumerate(c.outputs):
-            touches[w].append(("npo_out", ni, pos))
+            if w is not None:
+                touches[w].append(("npo_out", ni, pos))
+        if c.sum_out is not None:
+            touches[c.sum_out].append(("npo_out", ni, len(c.outputs)))
 
     def sender_priority(t, r_solve_slot):
         kind = t[0]
@@ -405,6 +425,7 @@ def compile_circuit(builder) -> Circuit:
         c.out_mults = [
             npo_out_mult.get((ni, pos), 0) for pos in range(len(c.outputs))
         ]
+        c.sum_mult = npo_out_mult.get((ni, len(c.outputs)), 0)
 
     const_rows = [
         (w, v, const_mults[i]) for i, (w, v) in enumerate(const_rows)

@@ -327,6 +327,71 @@ class CircuitRunner:
                     for w, v in zip(h.outputs, h.fn(ins)):
                         self.set_witness(w, v)
 
+    def _run_chained(self, plugin, cs: list):
+        """Chained perm calls of one level: assemble each call's input state
+        from (chain state | private sibling | CTL'd witness values | merkle
+        swap), run ONE batched permutation, scatter outputs and update chain
+        state (reference `poseidon_perm/executor.rs:924-970` semantics,
+        vectorized across the level's independent chains)."""
+        E = self.c.ext
+        d = E.D
+        width = plugin.params.width
+        rate = width // 2
+        if not hasattr(self, "_chain_state"):
+            self._chain_state: dict = {}
+        st_map = self._chain_state.setdefault(plugin.type_id, {})
+        k = len(cs)
+        states = np.zeros((k, width), dtype=U32)
+        bits = np.zeros(k, dtype=np.int64)
+        sums = np.zeros(k, dtype=np.int64)
+        for i, call in enumerate(cs):
+            st = states[i]
+            prev = st_map.get(call.chain)
+            if not call.new_start:
+                if prev is None:
+                    raise MissingInput(
+                        f"npo chain {call.chain} op {call.op_id}: no prior "
+                        "output to chain from"
+                    )
+                if call.merkle_path:
+                    st[:rate] = prev[0][:rate]
+                else:
+                    st[:] = prev[0]
+            bit = 0
+            if call.merkle_path:
+                priv = (
+                    self.npo_private.get(call.tag)
+                    if call.tag is not None
+                    else None
+                )
+                if priv is not None:
+                    bit = int(priv.get("bit", 0))
+                    sib = priv.get("sibling")
+                    if sib is not None:
+                        sib = np.asarray(sib, dtype=U32)
+                        st[rate : rate + sib.shape[0]] = sib
+            for l, wid in enumerate(call.inputs):
+                if wid is not None:
+                    st[l * d : (l + 1) * d] = self.wit[wid]
+            if call.merkle_path and bit:
+                tmp = st[:rate].copy()
+                st[:rate] = st[rate:]
+                st[rate:] = tmp
+            if call.merkle_path:
+                prev_sum = prev[1] if prev is not None else 0
+                sums[i] = 2 * prev_sum + bit
+            bits[i] = bit
+        outs = plugin.permute_states(states)
+        recs = self.npo_records.setdefault(plugin.type_id, {})
+        for i, call in enumerate(cs):
+            st_map[call.chain] = (outs[i], int(sums[i]))
+            for l, w in enumerate(call.outputs):
+                if w is not None:
+                    self.set_witness(w, outs[i, l * d : (l + 1) * d])
+            if call.sum_out is not None:
+                self.set_witness(call.sum_out, int(sums[i]))
+            recs[call.op_id] = (states[i].copy(), int(bits[i]), int(sums[i]))
+
     def _run_npos(self, calls: list):
         """Execute a level's NPO calls; plugins exposing execute_batch run
         all their calls in one vectorized invocation."""
@@ -335,7 +400,9 @@ class CircuitRunner:
             groups.setdefault(call.plugin.type_id, []).append(call)
         for _tid, cs in groups.items():
             plugin = cs[0].plugin
-            if hasattr(plugin, "execute_batch") and all(
+            if getattr(plugin, "chained", False):
+                self._run_chained(plugin, cs)
+            elif hasattr(plugin, "execute_batch") and all(
                 self.npo_private.get(c.tag) is None for c in cs
             ):
                 ins = np.stack(

@@ -200,7 +200,10 @@ void p3n_challenger_sample(void* h, uint32_t* out, uint64_t n) {
   auto* c = static_cast<P3Challenger*>(h);
   for (uint64_t i = 0; i < n; i++) {
     if (c->input_len > 0 || c->output_len == 0) duplex(c);
-    out[i] = c->output_buf[--c->output_len];
+    // front-pop convention (see stark/challenger.py): first sample is
+    // state[0], so D-aligned extension samples coincide with table limbs
+    out[i] = c->output_buf[8 - c->output_len];
+    c->output_len--;
   }
 }
 

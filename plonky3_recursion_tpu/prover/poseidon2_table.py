@@ -1,33 +1,39 @@
-"""Poseidon2 permutation NPO: circuit plugin + table AIR + trace builder.
+"""Poseidon2 permutation NPO: chained circuit plugin + table AIR + traces.
 
 TPU-native equivalent of the reference's Poseidon2 perm NPO + circuit AIR
-(`circuit/src/ops/poseidon2_perm/`, `poseidon2-circuit-air/`;
-SURVEY.md §2.1/§2.3), redesigned tall-and-narrow for the VPU: one trace row
-per ROUND (16 state + 16 S-box main columns) instead of the reference's
-wide one-row-per-permutation layout.  Heights are cheap on TPU and the
-committed S-box columns keep every constraint at degree ≤ 3 (KoalaBear
-x^3 S-box), so this table folds into the same qdeg=2 quotient as the
-primitive chips.
+(`circuit/src/ops/poseidon2_perm/`, `poseidon2-circuit-air/src/air.rs:26-70`,
+`poseidon-circuit-cols/src/cols.rs:64-115`; SURVEY.md §2.1/§2.3), redesigned
+tall-and-narrow for the VPU: one trace row per ROUND (16 state + 16 S-box
+main columns) instead of the reference's wide one-row-per-permutation
+layout.  Heights are cheap on TPU and the committed S-box columns keep
+every constraint at degree ≤ 3 (KoalaBear x^3 S-box).
+
+Chaining (the reference's core circuit-size trick, rebuilt for the
+row-per-round layout): consecutive perm calls on one CHAIN occupy adjacent
+row blocks, and transition constraints between the last row of block i
+(holding the permutation output state) and row 0 of block i+1 (the next
+input state) carry sponge state / Merkle running digests **inside the
+table**, so intermediate digests never touch the witness bus:
+
+  * sponge chain   — gated per limb: next_in[l] == cur_out[l]
+  * merkle chain   — direction bit B (value column) places the running
+    digest left (B=0) or right (B=1): the sibling half is prover private
+    data written straight into the trace, with NO circuit wires at all
+  * index sum      — accumulator column S with S' = 2·S + B' across merkle
+    rows reconstructs the leaf index from the direction bits; ONE lookup
+    per path binds the final S to the circuit's expected index, replacing
+    per-level bit wires (reference `mmcs_index_sum`, `cols.rs:100-115`)
 
 Block layout per permutation (2 + RF + RP rows):
-  row 0                raw input state          (bus receives 4 ext limbs)
-  row 1                after the initial M_E    (sel_me transition)
-  rows 2..             one row per round        (sel_ext / sel_int)
-  last row             permutation output       (bus sends 4 ext limbs)
-
-Constraints:
-  sbox[j] = (state[j] + rc[j])^3                (ungated, degree 3)
-  sel_me ·(next[j] − M_E(state)[j])             (degree 2)
-  sel_ext·(next[j] − M_E(sbox)[j])              (degree 2)
-  sel_int·(next[j] − (diag_j·L_j + Σ_k L_k)),   L = [sbox[0], state[1:]]
-
-Bus: one set of 4 idx + 4 mult preprocessed columns serves both row-0
-receives and last-row sends (zero elsewhere).
+  row 0                raw input state    (bus receives CTL'd limbs; prep
+                       flags select chaining/zero for the rest)
+  row 1                after the initial M_E  (sel_me transition)
+  rows 2..             one row per round      (sel_ext / sel_int)
+  last row             permutation output     (bus sends CTL'd limbs + S)
 """
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 
 import numpy as np
@@ -44,15 +50,29 @@ from ..stark.symbolic import Air, Var
 from .airs import BUS
 
 WIDTH = 16
-MAIN_WIDTH = 2 * WIDTH  # state | sbox
+WIDTH_EXT = 4
+RATE_EXT = 2
+COL_B = 2 * WIDTH  # merkle direction bit (value column)
+COL_S = 2 * WIDTH + 1  # mmcs index accumulator (value column)
+MAIN_WIDTH = 2 * WIDTH + 2  # state | sbox | B | S
+
 # preprocessed layout
 P_RC = 0  # 16 cols of round constants
 P_SEL_ME = 16  # initial external-linear-layer transition
 P_SEL_EXT = 17  # external round transition
 P_SEL_INT = 18  # internal round transition
-P_IO_IDX = 19  # 4 cols: D-scaled bus indices (row0: inputs, last: outputs)
-P_IO_MULT = 23  # 4 cols: signed multiplicities
-PREP_WIDTH = 27
+P_IN_IDX = 19  # 4 cols: D-scaled bus indices of CTL'd input limbs (row 0)
+P_IN_MULT = 23  # 4 cols: signed input multiplicities
+P_OUT_IDX = 27  # 4 cols: output limb indices (last row)
+P_OUT_MULT = 31  # 4 cols: signed output multiplicities
+P_SUM_IDX = 35  # index-sum binding (last row)
+P_SUM_MULT = 36
+P_SPONGE = 37  # 4 cols: sponge-chain gate per limb (row 0)
+P_MERKLE = 41  # 2 cols: merkle-chain gate per rate limb (row 0)
+P_MACC = 43  # index accumulator gate (row 0 of merkle rows)
+P_ZEROL = 44  # 4 cols: limb-must-be-zero gate (new-chain rows)
+P_MROW = 48  # 1 on EVERY row of a merkle block (kills S elsewhere)
+PREP_WIDTH = 49
 
 
 def _m4_exprs(c):
@@ -87,21 +107,27 @@ class Poseidon2TableAir(Air):
             "BabyBear needs a register-split S-box table (future work)"
         )
         assert params.width == WIDTH
+        assert WIDTH_EXT * d == WIDTH
         self.params = params
         self.d = d
 
     def cache_key(self):
-        return (type(self).__name__, self.params.field.name, self.d)
+        return (type(self).__name__, self.params.field.name, self.d, "v2")
 
     def eval(self, b):
+        d = self.d
         cur = b.main_local[:WIDTH]
-        sb = b.main_local[WIDTH:]
+        sb = b.main_local[WIDTH : 2 * WIDTH]
         nxt = b.main_next[:WIDTH]
+        bit = b.main_local[COL_B]
+        nxt_bit = b.main_next[COL_B]
+        s_acc = b.main_local[COL_S]
+        nxt_s = b.main_next[COL_S]
         rc = [Var("preprocessed", P_RC + j, 0) for j in range(WIDTH)]
         sel_me = Var("preprocessed", P_SEL_ME, 0)
         sel_ext = Var("preprocessed", P_SEL_EXT, 0)
         sel_int = Var("preprocessed", P_SEL_INT, 0)
-        # S-box columns (ungated; padding rows satisfy 0 = 0^3)
+        # --- permutation round structure (as in round 1) ---
         for j in range(WIDTH):
             t = cur[j] + rc[j]
             b.assert_zero(sb[j] - t * t * t)
@@ -117,56 +143,114 @@ class Poseidon2TableAir(Air):
             b.assert_zero(sel_me * (nxt[j] - me_cur[j]))
             b.assert_zero(sel_ext * (nxt[j] - me_sb[j]))
             b.assert_zero(sel_int * (nxt[j] - out_int[j]))
+        # --- chaining constraints (cols.rs:64-115, air.rs:1030-1125) ---
+        # Direction bit is prover-chosen at runtime: boolean-constrain it.
+        b.assert_zero(bit * bit - bit)
+        # S vanishes off merkle rows (padding included: zero prep).
+        b.assert_zero((1 - Var("preprocessed", P_MROW, 0)) * s_acc)
+        # S rides unchanged through the block's intra-block transitions.
+        intra = sel_me + sel_ext + sel_int
+        b.assert_zero(intra * (nxt_s - s_acc))
+        # Across a block boundary into a merkle row: S' = 2·S + B'.
+        # The chain's first merkle row follows a (forced-S=0) sponge row,
+        # so the same constraint initializes S' = B'.
+        b.assert_zero(
+            Var("preprocessed", P_MACC, 1) * (nxt_s - 2 * s_acc - nxt_bit)
+        )
+        # Sponge chaining: gated per limb on the NEXT row's prep flag.
+        for l in range(WIDTH_EXT):
+            sc = Var("preprocessed", P_SPONGE + l, 1)
+            for j in range(d):
+                c = l * d + j
+                b.assert_zero(sc * (nxt[c] - cur[c]))
+            zg = Var("preprocessed", P_ZEROL + l, 0)
+            for j in range(d):
+                b.assert_zero(zg * cur[l * d + j])
+        # Merkle chaining: running digest (rate limbs of cur output) goes
+        # left (B'=0) or right (B'=1) in the next row's input; the other
+        # half holds the private sibling (unconstrained here, bound by the
+        # final root connect).
+        for i in range(RATE_EXT):
+            mc = Var("preprocessed", P_MERKLE + i, 1)
+            left = mc * (1 - nxt_bit)
+            right = mc * nxt_bit
+            for j in range(d):
+                b.assert_zero(left * (nxt[i * d + j] - cur[i * d + j]))
+                b.assert_zero(
+                    right * (nxt[(RATE_EXT + i) * d + j] - cur[i * d + j])
+                )
 
     def lookups(self):
         d = self.d
-        assert 4 * d == WIDTH, "io tuple layout assumes D*4 == width"
         inters = []
-        for j in range(4):
+        for l in range(WIDTH_EXT):
             inters.append(
                 Interaction(
-                    [Var("preprocessed", P_IO_IDX + j, 0)]
-                    + [Var("main", 4 * j + k, 0) for k in range(d)],
-                    Var("preprocessed", P_IO_MULT + j, 0),
+                    [Var("preprocessed", P_IN_IDX + l, 0)]
+                    + [Var("main", l * d + j, 0) for j in range(d)],
+                    Var("preprocessed", P_IN_MULT + l, 0),
                 )
             )
+        for l in range(WIDTH_EXT):
+            inters.append(
+                Interaction(
+                    [Var("preprocessed", P_OUT_IDX + l, 0)]
+                    + [Var("main", l * d + j, 0) for j in range(d)],
+                    Var("preprocessed", P_OUT_MULT + l, 0),
+                )
+            )
+        inters.append(
+            Interaction(
+                [Var("preprocessed", P_SUM_IDX, 0), Var("main", COL_S, 0)]
+                + [0] * (d - 1),
+                Var("preprocessed", P_SUM_MULT, 0),
+            )
+        )
         return [Lookup(BUS, inters)]
 
 
-class Poseidon2Npo:
-    """Circuit plugin + prover plugin for the Poseidon2 permutation NPO.
+def chain_order(calls) -> list:
+    """Row order of perm calls: chains contiguous, in first-appearance
+    order, each chain's calls in op order.  The in-table chaining
+    constraints bind ADJACENT row blocks, so a chain's blocks must be
+    adjacent even when its calls interleave with other chains (e.g. the
+    challenger's transcript-long chain vs per-query MMCS chains)."""
+    first: dict = {}
+    for c in calls:
+        key = c.chain if c.chain is not None else ("solo", c.op_id)
+        if key not in first:
+            first[key] = c.op_id
+    return sorted(
+        calls,
+        key=lambda c: (
+            first[c.chain if c.chain is not None else ("solo", c.op_id)],
+            c.op_id,
+        ),
+    )
 
-    I/O: 4 extension inputs -> 4 extension outputs (the D=4 view of the
-    16-wide base permutation, `book/.../hashing.md:40-58`)."""
+
+class Poseidon2Npo:
+    """Chained Poseidon2 permutation NPO (circuit plugin + prover plugin).
+
+    Calls go through `CircuitBuilder.perm_call`; per-call records from the
+    runner are (input state (16,), direction bit, index sum)."""
+
+    chained = True
 
     def __init__(self, params: Poseidon2Params, d: int = 4):
+        assert WIDTH_EXT * d == params.width
         self.params = params
         self.d = d
         self.type_id = f"poseidon2_perm/{params.field.name}_d{d}_w{params.width}"
 
-    # ----- circuit-side plugin API -----
+    # ----- circuit/runner plugin API -----
 
-    def num_outputs(self, config, inputs) -> int:
-        assert len(inputs) == 4
-        return 4
-
-    def execute(self, config, input_values, private_data):
-        state = np.concatenate(input_values).astype(U32)
-        out = permute(self.params, state[None, :], np)[0]
-        outs = [out[4 * j : 4 * j + 4] for j in range(4)]
-        return outs, state
-
-    def execute_batch(self, states: "np.ndarray"):
-        """Vectorized executor: (k, 16) input states -> ((k, 4, 4) ext
-        outputs, per-call records).  Uses the C++ permutation when the
-        native library is available."""
+    def permute_states(self, states: np.ndarray) -> np.ndarray:
         states = states.astype(U32)
         native = self._native_perm()
         if native is not None:
-            outs = native.permute(states)
-        else:
-            outs = permute(self.params, states, np)
-        return outs.reshape(-1, 4, self.d), [s for s in states]
+            return native.permute(states)
+        return permute(self.params, states, np)
 
     def _native_perm(self):
         if not hasattr(self, "_np_perm"):
@@ -203,12 +287,11 @@ class Poseidon2Npo:
             rc[r] = self.params.rc_ext[e]
             r += 1
         assert r == rpp - 1  # last row applies no round
-        # rc on row r is consumed by the transition LEAVING row r: the
-        # post-M_E row (row 1) carries rc_ext[0], and so on.
         return rc
 
     def build_prep(self, calls, min_height: int) -> np.ndarray:
         F = self.params.field
+        d = self.d
         rpp = self.rows_per_perm
         rf2 = self.params.full_rounds // 2
         block = np.zeros((rpp, PREP_WIDTH), dtype=U32)
@@ -225,28 +308,56 @@ class Poseidon2Npo:
             block[r, P_SEL_EXT] = 1
             r += 1
         assert r == rpp - 1
+        ordered = chain_order(calls)
         prep = np.zeros((len(calls) * rpp, PREP_WIDTH), dtype=U32)
-        for ci, call in enumerate(calls):
+        for ci, call in enumerate(ordered):
             base = ci * rpp
+            last = base + rpp - 1
             prep[base : base + rpp] = block
-            for j in range(4):
-                prep[base, P_IO_IDX + j] = call.inputs[j] * self.d
-                prep[base, P_IO_MULT + j] = call.in_mults[j] % F.P
-                prep[base + rpp - 1, P_IO_IDX + j] = call.outputs[j] * self.d
-                prep[base + rpp - 1, P_IO_MULT + j] = call.out_mults[j] % F.P
+            for l, wid in enumerate(call.inputs):
+                if wid is not None:
+                    prep[base, P_IN_IDX + l] = wid * d
+                    prep[base, P_IN_MULT + l] = call.in_mults[l] % F.P
+            if call.new_start:
+                assert not call.merkle_path, "merkle rows never start chains"
+                for l, wid in enumerate(call.inputs):
+                    if wid is None:
+                        prep[base, P_ZEROL + l] = 1
+            elif call.merkle_path:
+                for i in range(RATE_EXT):
+                    assert call.inputs[i] is None, (
+                        "merkle rows must not CTL the running-digest half"
+                    )
+                    prep[base, P_MERKLE + i] = 1
+                prep[base, P_MACC] = 1
+            else:
+                for l, wid in enumerate(call.inputs):
+                    if wid is None:
+                        prep[base, P_SPONGE + l] = 1
+            if call.merkle_path:
+                prep[base : base + rpp, P_MROW] = 1
+            for l, wid in enumerate(call.outputs):
+                if wid is not None:
+                    prep[last, P_OUT_IDX + l] = wid * d
+                    prep[last, P_OUT_MULT + l] = call.out_mults[l] % F.P
+            if call.sum_out is not None:
+                prep[last, P_SUM_IDX] = call.sum_out * d
+                prep[last, P_SUM_MULT] = call.sum_mult % F.P
         from .batch_prover import _pad_pow2
 
         return _pad_pow2(prep, min_height)
 
     def build_main(self, calls, records, min_height: int) -> np.ndarray:
-        """Trace from runner records: records[i] = input state (16,) for
-        call i, in call order."""
+        """records[i] = (input state (16,), bit, sum) for ordered call i."""
         from .batch_prover import _pad_pow2
 
         F = self.params.field
         if not records:
             return np.zeros((min_height, MAIN_WIDTH), dtype=U32)
-        states = np.stack(records).astype(U32)
+        ordered = chain_order(calls)
+        rec_by_op = {c.op_id: r for c, r in zip(calls, records)}
+        recs = [rec_by_op[c.op_id] for c in ordered]
+        states = np.stack([r[0] for r in recs]).astype(U32)
         rows = permute_with_rows(self.params, states, np)  # (n, rpp, 16)
         n_perms, rpp, w = rows.shape
         assert rpp == self.rows_per_perm
@@ -254,7 +365,11 @@ class Poseidon2Npo:
         rc = np.tile(self._rc_block(), (n_perms, 1))
         t = F.add(flat, rc, np)
         sbox = F.mul(F.mul(t, t, np), t, np)
-        return _pad_pow2(np.concatenate([flat, sbox], axis=1), min_height)
+        extra = np.zeros((n_perms * rpp, 2), dtype=U32)
+        for i, r in enumerate(recs):
+            extra[i * rpp, 0] = r[1]  # B on block row 0
+            extra[i * rpp : (i + 1) * rpp, 1] = r[2] % F.P  # S full block
+        return _pad_pow2(np.concatenate([flat, sbox, extra], axis=1), min_height)
 
 
 @functools.lru_cache(maxsize=None)

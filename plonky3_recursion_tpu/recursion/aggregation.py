@@ -60,7 +60,7 @@ def build_aggregation_circuit(
     npo = koala_bear_poseidon2_npo()
     builder.enable_op(npo)
     vcrs = []
-    for child in (left, right):
+    for ns, child in (("L", left), ("R", right)):
         airs = _airs(config, child.circuit, child.prover_data.packing)
         vcrs.append(
             build_batch_verifier_circuit(
@@ -73,6 +73,7 @@ def build_aggregation_circuit(
                 terminal_checks=_terminal_checks(
                     child.circuit, child.prover_data
                 ),
+                tag_ns=ns,
             )
         )
     circuit = builder.build()
@@ -97,6 +98,12 @@ def prove_aggregation_layer(
         prep.vcr_left.pack_private_inputs(left_proof.batch)
         + prep.vcr_right.pack_private_inputs(right_proof.batch)
     )
+    for vcr, pf in (
+        (prep.vcr_left, left_proof.batch),
+        (prep.vcr_right, right_proof.batch),
+    ):
+        for key, data in vcr.pack_npo_private(pf).items():
+            runner.set_private_data(key, data)
     traces = runner.run()
     prover = BatchStarkProver(config)
     return prover.prove_all_tables(

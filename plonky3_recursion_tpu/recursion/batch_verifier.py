@@ -48,6 +48,11 @@ class VerifierCircuitResult:
     builder: CircuitBuilder
     public_extractors: list
     private_extractors: list
+    # native transcript replay data (query-index derivation at pack time)
+    config: object = None
+    record: list = dataclasses.field(default_factory=list)
+    src: dict = dataclasses.field(default_factory=dict)
+    npo_specs: list = dataclasses.field(default_factory=list)
 
     def pack_public_inputs(self, proof: BatchProof) -> list:
         return [f(proof) for f in self.public_extractors]
@@ -55,20 +60,84 @@ class VerifierCircuitResult:
     def pack_private_inputs(self, proof: BatchProof) -> list:
         return [f(proof) for f in self.private_extractors]
 
+    def query_indices(self, proof: BatchProof) -> list:
+        """Native replay of the circuit's transcript record -> the FRI
+        query indices of `proof` (needed to supply merkle direction bits
+        as NPO private data)."""
+        nodes = self.builder.g.nodes
+        from ..circuit.expr import CONST
+
+        ch = self.config.challenger()
+        indices = []
+        for ev in self.record:
+            if ev[0] == "o":
+                eid = ev[1]
+                node = nodes[eid]
+                if node.kind == CONST:
+                    v = int(node.value[0])
+                else:
+                    kind, i = self.src[eid]
+                    f = (
+                        self.public_extractors[i]
+                        if kind == "pub"
+                        else self.private_extractors[i]
+                    )
+                    v = int(f(proof))
+                ch.observe(v)
+            elif ev[0] == "s":
+                for _ in range(ev[1]):
+                    ch.sample()
+            else:  # ("i", bits, is_index)
+                v = ch.sample()
+                if ev[2]:
+                    indices.append(v & ((1 << ev[1]) - 1))
+        return indices
+
+    def pack_npo_private(self, proof: BatchProof) -> dict:
+        """Per-tag NPO private data: merkle direction bits + sibling
+        digests for every in-circuit MMCS path (reference
+        `set_fri_mmcs_private_data`, `recursion/src/pcs/mmcs.rs:653`)."""
+        indices = self.query_indices(proof)
+        out = {}
+        for spec in self.npo_specs:
+            if spec[0] == "in":
+                _k, tag, q, ri, log_max, rlm = spec
+                idx = indices[q] >> (log_max - rlm)
+                _rows, sibs = proof.fri.query_proofs[q].input_openings[ri]
+                for lv in range(rlm):
+                    out[(tag, lv)] = {
+                        "bit": (idx >> lv) & 1,
+                        "sibling": np.asarray(sibs[lv], dtype=U32),
+                    }
+            else:  # ("ph", tag, q, ph, shift, levels)
+                _k, tag, q, ph, shift, levels = spec
+                idx = indices[q] >> shift
+                _row, sibs = proof.fri.query_proofs[q].commit_steps[ph]
+                for lv in range(levels):
+                    out[(tag, lv)] = {
+                        "bit": (idx >> lv) & 1,
+                        "sibling": np.asarray(sibs[lv], dtype=U32),
+                    }
+        return out
+
 
 class _Alloc:
     def __init__(self, builder: CircuitBuilder):
         self.b = builder
         self.pub: list = []
         self.priv: list = []
+        self.src: dict = {}  # eid -> ("pub"|"priv", index)
+        self.npo_specs: list = []
 
     def public(self, extract):
         t = self.b.public_input()
+        self.src[t] = ("pub", len(self.pub))
         self.pub.append(extract)
         return t
 
     def private(self, extract):
         t = self.b.private_input()
+        self.src[t] = ("priv", len(self.priv))
         self.priv.append(extract)
         return t
 
@@ -92,6 +161,7 @@ def build_batch_verifier_circuit(
     builder: CircuitBuilder | None = None,
     npo_type_id: str | None = None,
     terminal_checks: list | None = None,
+    tag_ns: str = "",
 ) -> VerifierCircuitResult:
     """Lower `verify_batch(config, airs_lookups, proof, common)` into a
     circuit for proofs with the given instance shapes.
@@ -403,12 +473,20 @@ def build_batch_verifier_circuit(
             q_mats.append((s.log_n, [(zeta, q_opens[ii][ci])]))
     rounds.append(("quotient", quotient_commit, q_mats))
 
-    _verify_fri_circuit(config, b, al, ch, mmcs, rounds, P)
+    _verify_fri_circuit(config, b, al, ch, mmcs, rounds, P, tag_ns=tag_ns)
 
-    return VerifierCircuitResult(b, al.pub, al.priv)
+    return VerifierCircuitResult(
+        b,
+        al.pub,
+        al.priv,
+        config=config,
+        record=ch.record,
+        src=al.src,
+        npo_specs=al.npo_specs,
+    )
 
 
-def _verify_fri_circuit(config, b, al, ch, mmcs, rounds, P):
+def _verify_fri_circuit(config, b, al, ch, mmcs, rounds, P, tag_ns: str = ""):
     """In-circuit mirror of `TwoAdicFriPcs.verify` (fri_pcs.py)."""
     F, E = config.field, config.ext
     p = F.P
@@ -504,7 +582,7 @@ def _verify_fri_circuit(config, b, al, ch, mmcs, rounds, P):
 
     # per-query verification
     for q in range(P.num_queries):
-        bits = ch.sample_bits(log_max)
+        bits = ch.sample_bits(log_max, is_index=True)
 
         def x_from_bits(log_h, shift_int, bit_targets):
             """shift · ω^{rev(idx)} from LSB-first bit targets."""
@@ -521,10 +599,6 @@ def _verify_fri_circuit(config, b, al, ch, mmcs, rounds, P):
             rows, _sibs = pf.fri.query_proofs[q].input_openings[ri]
             return int(np.asarray(rows[mi])[c])
 
-        def open_sib(pf, q, ri, lv, i):
-            _rows, sibs = pf.fri.query_proofs[q].input_openings[ri]
-            return int(np.asarray(sibs[lv])[i])
-
         acc: dict[int, int] = {}
         yi = 0
         for ri, (_name, commit_t, mats) in enumerate(rounds):
@@ -537,11 +611,9 @@ def _verify_fri_circuit(config, b, al, ch, mmcs, rounds, P):
                 row = al.private_vec(w, _bind(open_row, q, ri, mi))
                 opened_rows.append(row)
                 dims.append((1 << (log_n + P.log_blowup), w))
-            sibs = [
-                al.private_vec(8, _bind(open_sib, q, ri, lv))
-                for lv in range(rlm)
-            ]
-            mmcs.verify_batch(commit_t, dims, rbits, opened_rows, sibs)
+            tag = ("mmcsp", tag_ns, q, ri)
+            al.npo_specs.append(("in", tag, q, ri, log_max, rlm))
+            mmcs.verify_batch(commit_t, dims, rbits, opened_rows, tag)
             for mi, (log_n, pts) in enumerate(mats):
                 log_h = log_n + P.log_blowup
                 hbits = bits[log_max - log_h :] if log_h < log_max else bits
@@ -569,10 +641,6 @@ def _verify_fri_circuit(config, b, al, ch, mmcs, rounds, P):
             row, _s = pf.fri.query_proofs[q].commit_steps[ph]
             return int(np.asarray(row)[i])
 
-        def step_sib(pf, q, ph, lv, i):
-            _row, sibs = pf.fri.query_proofs[q].commit_steps[ph]
-            return int(np.asarray(sibs[lv])[i])
-
         for ph, ar in enumerate(schedule):
             off = offsets[ph]
             group = 1 << ar
@@ -582,17 +650,15 @@ def _verify_fri_circuit(config, b, al, ch, mmcs, rounds, P):
                 for j in range(group)
             ]
             levels = log_size - ar
-            sibs = [
-                al.private_vec(8, _bind(step_sib, q, ph, lv))
-                for lv in range(levels)
-            ]
             row_bits = bits[off + ar :]
+            tag = ("mmcsc", tag_ns, q, ph)
+            al.npo_specs.append(("ph", tag, q, ph, off + ar, levels))
             mmcs.verify_batch(
                 phase_commits[ph],
                 [(1 << levels, group * d)],
                 row_bits,
                 [row_flat],
-                sibs,
+                tag,
             )
             # own-position check: select vals[pos] with pos = bits[off:off+ar]
             sel = list(vals)

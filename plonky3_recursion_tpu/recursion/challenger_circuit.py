@@ -1,16 +1,24 @@
-"""CircuitChallenger: in-circuit duplex-sponge Fiat–Shamir.
+"""CircuitChallenger: in-circuit duplex-sponge Fiat–Shamir (chained).
 
 TPU-native equivalent of the reference's `CircuitChallenger`
 (`recursion/src/challenger/circuit.rs:33`; SURVEY.md §2.4), transcript
 bit-exact with `stark.challenger.DuplexChallenger` by construction: same
-overwrite-absorb discipline, same duplexing triggers, same back-of-buffer
+overwrite-absorb discipline, same duplexing triggers, same front-of-buffer
 sample order.
 
-State is held as 16 base-coefficient targets; each duplexing recomposes
-them into 4 extension targets, runs the Poseidon2 permutation NPO (CTL-
-verified against the Poseidon2 table), and decomposes the outputs back to
-coefficients (~70 primitive rows per duplexing in the D=4 view, matching
-`book/.../hashing.md:138-156`).
+Chained redesign (vs the reference's D=4 path, which round-trips the full
+state through the witness bus at ~70 primitive rows per duplexing,
+`book/.../hashing.md:138-156`): the sponge state lives INSIDE the Poseidon2
+table on one transcript-long chain.  A duplexing only pays for what
+actually crosses the bus —
+
+  * absorbed limbs: one CTL'd input limb per 4 observed coefficients
+    (constant-folded for static observations; D-aligned extension
+    observations pass their existing wire through with zero new rows),
+  * untouched limbs and the capacity: chained in-table for free,
+  * sampled values: the output limb wire itself (front-pop sampling makes
+    extension samples D-aligned), decomposed lazily only when single
+    coefficients are needed (sample_bits / unaligned samples).
 """
 
 from __future__ import annotations
@@ -21,61 +29,212 @@ from ..circuit.builder import CircuitBuilder
 class CircuitChallenger:
     WIDTH = 16
     RATE = 8
+    LIMBS = 4
+    RATE_LIMBS = 2
 
     def __init__(self, builder: CircuitBuilder, npo_type_id: str):
         self.b = builder
         self.npo = npo_type_id
-        self.state = [builder.zero] * self.WIDTH
-        self.input_buffer: list[int] = []
-        self.output_buffer: list[int] = []
-        self._perms = 0
+        plugin, _cfg = builder.enabled_ops[npo_type_id]
+        # hash-agnostic dispatch (reference ChallengerPermConfig): plugins
+        # without in-table chaining (e.g. the Poseidon1 table) fall back to
+        # full bus round-trips per duplex
+        self.chained = getattr(plugin, "chained", False)
+        self._legacy_state = [builder.zero] * self.WIDTH
+        self.chain = builder.new_chain("challenger")
+        self._duplexed = False
+        self._op: int | None = None  # op id of the last duplex call
+        # input buffer: list of ("c", coeff_wire) 1 slot / ("e", ext_wire)
+        # 4 slots, kept 4-aligned for "e" items
+        self._in: list = []
+        self._in_len = 0
+        self._out_len = 0  # coeffs remaining in the output buffer
+        self._out_coeffs: dict = {}  # limb -> 4 coeff wires (lazy)
+        # transcript record for native replay (query-index derivation at
+        # proof-packing time): ("o", coeff_eid) / ("s", count) /
+        # ("i", bits, is_query_index)
+        self.record: list = []
+
+    # ----- internals -----
+
+    def _recompose(self, coeffs):
+        b = self.b
+        from ..circuit.expr import CONST
+
+        nodes = b.g.nodes
+        if all(nodes[c].kind == CONST for c in coeffs):
+            return b.const(tuple(nodes[c].value[0] for c in coeffs))
+        return b.recompose_base_coeffs_to_ext(coeffs)
+
+    def _limb_wire(self, l: int) -> int:
+        if not self.chained:
+            return self._legacy_out_ext[l]
+        assert self._op is not None
+        return self.b.npo_out_wire(self._op, l)
+
+    def _limb_coeffs(self, l: int) -> list:
+        cs = self._out_coeffs.get(l)
+        if cs is None:
+            cs = self.b.decompose_ext_to_base_coeffs(self._limb_wire(l))
+            self._out_coeffs[l] = cs
+        return cs
 
     def _duplex(self):
+        if not self.chained:
+            self._duplex_legacy()
+            return
         b = self.b
-        if self.input_buffer:
-            for i, t in enumerate(self.input_buffer):
-                self.state[i] = t
-            self.input_buffer = []
+        items, k = self._in, self._in_len
+        self._in, self._in_len = [], 0
+        first = not self._duplexed
+        # expand items into per-slot coefficient view, remembering aligned
+        # ext passthroughs
+        slots: list = [None] * self.RATE  # coeff wires
+        ext_at: dict = {}  # slot -> ext wire covering [slot, slot+4)
+        pos = 0
+        for kind, w in items:
+            if kind == "e":
+                ext_at[pos] = w
+                pos += 4
+            else:
+                slots[pos] = w
+                pos += 1
+        assert pos == k <= self.RATE
+        inputs = [None] * self.LIMBS
+        for l in range(self.RATE_LIMBS):
+            lo = 4 * l
+            if lo in ext_at:
+                inputs[l] = ext_at[lo]
+                continue
+            if lo >= k:
+                continue  # untouched limb: chains (or zeros on first)
+            cs = []
+            for j in range(4):
+                s = lo + j
+                if s < k:
+                    assert slots[s] is not None, "unaligned ext item"
+                    cs.append(slots[s])
+                elif first:
+                    cs.append(b.zero)
+                else:
+                    cs.append(self._limb_coeffs(l)[j])
+            inputs[l] = self._recompose(cs)
+        b.perm_call(
+            self.npo,
+            inputs,
+            [False] * self.LIMBS,
+            new_start=first,
+            chain=self.chain,
+        )
+        self._op = b._chain_last[self.chain]
+        self._duplexed = True
+        self._out_coeffs = {}
+        self._out_len = self.RATE
+
+    def _duplex_legacy(self):
+        """Full bus round-trip duplex for non-chained perm plugins
+        (reference `duplexing_ext`, ~70 primitive rows per duplexing)."""
+        b = self.b
+        items, k = self._in, self._in_len
+        self._in, self._in_len = [], 0
+        # flatten items into coefficient wires
+        coeffs: list = []
+        for kind, w in items:
+            if kind == "e":
+                coeffs.extend(b.recompose_src[w])
+            else:
+                coeffs.append(w)
+        state = list(self._legacy_state)
+        state[: len(coeffs)] = coeffs
         exts = [
-            b.recompose_base_coeffs_to_ext(self.state[4 * j : 4 * j + 4])
-            for j in range(4)
+            self._recompose(state[4 * j : 4 * j + 4]) for j in range(4)
         ]
-        outs = b.call_npo(self.npo, exts, tag=("challenger", self._perms))
-        self._perms += 1
-        coeffs: list[int] = []
+        outs = b.call_npo(self.npo, exts)
+        out_coeffs: list = []
         for o in outs:
-            coeffs.extend(b.decompose_ext_to_base_coeffs(o))
-        self.state = coeffs
-        self.output_buffer = list(self.state[: self.RATE])
+            out_coeffs.extend(b.decompose_ext_to_base_coeffs(o))
+        self._legacy_state = out_coeffs
+        self._duplexed = True
+        self._out_coeffs = {
+            l: out_coeffs[4 * l : 4 * l + 4] for l in range(self.LIMBS)
+        }
+        self._legacy_out_ext = outs
+        self._out_len = self.RATE
+
+    # ----- observe -----
 
     def observe(self, target: int):
         """Observe a base-embedded target."""
-        self.output_buffer = []
-        self.input_buffer.append(target)
-        if len(self.input_buffer) == self.RATE:
+        self.record.append(("o", target))
+        self._out_len = 0
+        self._in.append(("c", target))
+        self._in_len += 1
+        if self._in_len == self.RATE:
             self._duplex()
 
     def observe_slice(self, targets):
         for t in targets:
             self.observe(t)
 
+    def observe_coeffs(self, coeffs: list, ext: int | None = None):
+        """Observe D base-coeff wires; when the buffer is D-aligned and the
+        caller supplies the recomposed ext wire, it passes through as one
+        absorb limb with zero extra rows."""
+        if ext is not None and self._in_len % 4 == 0 and len(coeffs) == 4:
+            for c in coeffs:
+                self.record.append(("o", c))
+            self._out_len = 0
+            self._in.append(("e", ext))
+            self._in_len += 4
+            if self._in_len == self.RATE:
+                self._duplex()
+        else:
+            self.observe_slice(coeffs)
+
     def observe_ext(self, target: int):
-        for c in self.b.decompose_ext_to_base_coeffs(target):
-            self.observe(c)
+        """Observe an extension wire coefficient-wise.  Aligned: free
+        passthrough (the wire's recompose sources provide the replay
+        record); unaligned: decompose."""
+        src = getattr(self.b, "recompose_src", {}).get(target)
+        if self._in_len % 4 == 0 and src is not None:
+            self.observe_coeffs(src, ext=target)
+        elif src is not None:
+            self.observe_slice(src)
+        else:
+            for c in self.b.decompose_ext_to_base_coeffs(target):
+                self.observe(c)
+
+    # ----- sample -----
+
+    def _sample_raw(self) -> int:
+        if self._in_len or self._out_len == 0:
+            self._duplex()
+        pos = self.RATE - self._out_len
+        self._out_len -= 1
+        l, j = divmod(pos, 4)
+        return self._limb_coeffs(l)[j]
 
     def sample(self) -> int:
-        if self.input_buffer or not self.output_buffer:
-            self._duplex()
-        return self.output_buffer.pop()
+        self.record.append(("s", 1))
+        return self._sample_raw()
 
     def sample_ext(self) -> int:
-        coeffs = [self.sample() for _ in range(self.b.E.D)]
+        self.record.append(("s", 4))
+        if self._in_len or self._out_len == 0:
+            self._duplex()
+        pos = self.RATE - self._out_len
+        if pos % 4 == 0 and self._out_len >= 4:
+            self._out_len -= 4
+            return self._limb_wire(pos // 4)
+        coeffs = [self._sample_raw() for _ in range(4)]
         return self.b.recompose_base_coeffs_to_ext(coeffs)
 
-    def sample_bits(self, bits: int) -> list[int]:
+    def sample_bits(self, bits: int, is_index: bool = False) -> list[int]:
         """Sample, decompose the full 31-bit value, return the low-bit
-        prefix targets (reference `circuit.rs:388-407`)."""
-        v = self.sample()
+        prefix targets (reference `circuit.rs:388-407`).  `is_index` marks
+        FRI query-index samples for the native transcript replay."""
+        self.record.append(("i", bits, is_index))
+        v = self._sample_raw()
         all_bits = self.b.decompose_to_bits(v, 31)
         return all_bits[:bits]
 

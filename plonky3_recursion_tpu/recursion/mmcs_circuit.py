@@ -1,15 +1,26 @@
-"""In-circuit MMCS verification: Merkle batch openings as perm-NPO chains.
+"""In-circuit MMCS verification: Merkle batch openings as CHAINED perm rows.
 
 TPU-native equivalent of the reference's MMCS recursion module
 (`recursion/src/pcs/mmcs.rs:319`, `circuit/src/ops/mmcs.rs:81`;
-SURVEY.md §2.4): lowers `merkle.MerkleMmcs.verify_batch` into circuit ops —
-leaf sponge absorption, per-level 2-to-1 compression with direction bits
-selecting operand order, digest injection for shorter matrices, and a final
-connect against the commitment targets.
+SURVEY.md §2.4), rebuilt on the chained Poseidon2 table
+(`prover/poseidon2_table.py`): a whole Merkle path is ONE chain of
+adjacent table row blocks —
 
-Digests are 8 base-coefficient targets; permutation I/O goes through the
-4-extension-limb view (recompose before each perm call).  Sibling digests
-are private inputs supplied by the prover.
+  * leaf sponge rows absorb the opened values (only these touch the bus),
+  * per-level compression rows carry the running digest in-table; the
+    sibling digest and the direction bit are prover PRIVATE DATA written
+    straight into the trace (no circuit wires at all),
+  * roll-in rows inject shorter matrices' digests (hashed by their own
+    side chains) through in-CTL limbs with direction pinned left,
+  * the chain's final row exposes the root digest limbs (connected to the
+    commitment) and the in-table index accumulator S, which is bound by a
+    single lookup to the expected value reconstructed from the sampled
+    index bits — replacing per-level direction-bit wires and selects
+    (reference `mmcs_index_sum`, `poseidon-circuit-cols/src/cols.rs:100`).
+
+Private data contract: for path tag T, the merkle compression row at
+level L expects `runner.set_private_data((T, L), {"bit": b, "sibling":
+(8,) base array})` — see `recursion.pack_npo_private`.
 """
 
 from __future__ import annotations
@@ -21,47 +32,95 @@ class MmcsGadget:
     WIDTH = 16
     RATE = 8
     DIGEST = 8
+    LIMBS = 4
+    RATE_LIMBS = 2
 
     def __init__(self, builder: CircuitBuilder, npo_type_id: str):
         self.b = builder
         self.npo = npo_type_id
-        self._perms = 0
+        # registered (tag, n_levels) pairs so the layer prover knows which
+        # private-data keys to fill (one per compression level)
+        self.private_paths: list = []
+        self._root_cache: dict = {}
 
-    def _perm(self, coeffs16):
-        b = self.b
-        exts = [
-            b.recompose_base_coeffs_to_ext(coeffs16[4 * j : 4 * j + 4])
-            for j in range(4)
-        ]
-        outs = b.call_npo(self.npo, exts, tag=("mmcs", self._perms))
-        self._perms += 1
-        out_coeffs = []
-        for o in outs:
-            out_coeffs.extend(b.decompose_ext_to_base_coeffs(o))
-        return out_coeffs
+    # ----- sponge absorption (overwrite mode, matching ops.hashing) -----
 
-    def sponge_hash(self, values: list[int]) -> list[int]:
-        """PaddingFreeSponge over base-embedded targets -> 8 digest
-        targets (mirrors ops.hashing.sponge_hash)."""
+    def _recompose(self, coeffs):
+        """recompose 4 base-coeff wires -> ext wire; constant-folds when
+        every coefficient is a circuit constant."""
         b = self.b
-        state = [b.zero] * self.WIDTH
-        for start in range(0, len(values), self.RATE):
+        from ..circuit.expr import CONST
+
+        nodes = b.g.nodes
+        if all(nodes[c].kind == CONST for c in coeffs):
+            return b.const(tuple(nodes[c].value[0] for c in coeffs))
+        return b.recompose_base_coeffs_to_ext(coeffs)
+
+    def absorb(self, values: list, chain) -> None:
+        """Absorb base-coeff wires into `chain` (PaddingFreeSponge
+        overwrite discipline: per 8-value chunk overwrite the rate limbs,
+        permute; untouched slots keep the previous permutation output)."""
+        b = self.b
+        first = b._chain_last.get(chain) is None
+        n = len(values)
+        assert n > 0
+        for start in range(0, n, self.RATE):
             chunk = values[start : start + self.RATE]
-            for i, t in enumerate(chunk):
-                state[i] = t
-            state = self._perm(state)
-        return state[: self.DIGEST]
+            inputs = [None] * self.LIMBS
+            for l in range(self.RATE_LIMBS):
+                cs = chunk[4 * l : 4 * l + 4]
+                if not cs:
+                    continue
+                if len(cs) < 4:
+                    if first:
+                        cs = cs + [b.zero] * (4 - len(cs))
+                    else:
+                        prev_op = b._chain_last[chain]
+                        old = b.decompose_ext_to_base_coeffs(
+                            b.npo_out_wire(prev_op, l)
+                        )
+                        cs = cs + old[len(cs) :]
+                inputs[l] = self._recompose(cs)
+            b.perm_call(
+                self.npo,
+                inputs,
+                [False] * self.LIMBS,
+                new_start=first,
+                chain=chain,
+            )
+            first = False
 
-    def compress(self, left: list[int], right: list[int]) -> list[int]:
-        state = list(left) + list(right)
-        return self._perm(state)[: self.DIGEST]
-
-    def compress_ordered(self, node, sibling, bit):
-        """compress with (node, sibling) swapped when bit == 1."""
+    def absorb_ext(self, ext_values: list, chain) -> None:
+        """Absorb D-aligned extension wires (each fills one rate limb
+        directly — zero arithmetic rows)."""
         b = self.b
-        left = [b.select(bit, s, n) for n, s in zip(node, sibling)]
-        right = [b.select(bit, n, s) for n, s in zip(node, sibling)]
-        return self.compress(left, right)
+        first = b._chain_last.get(chain) is None
+        for start in range(0, len(ext_values), self.RATE_LIMBS):
+            group = ext_values[start : start + self.RATE_LIMBS]
+            inputs = [None] * self.LIMBS
+            for l, t in enumerate(group):
+                inputs[l] = t
+            b.perm_call(
+                self.npo,
+                inputs,
+                [False] * self.LIMBS,
+                new_start=first,
+                chain=chain,
+            )
+            first = False
+
+    def _digest_of(self, values: list, as_ext: bool) -> tuple:
+        """Side-chain sponge of `values`; returns (chain, last_op) with the
+        digest living in the chain's final permutation output."""
+        b = self.b
+        chain = b.new_chain("mmcs_leaf")
+        if as_ext:
+            self.absorb_ext(values, chain)
+        else:
+            self.absorb(values, chain)
+        return chain, b._chain_last[chain]
+
+    # ----- batched Merkle-path verification -----
 
     def verify_batch(
         self,
@@ -69,30 +128,106 @@ class MmcsGadget:
         dims: list[tuple[int, int]],
         index_bits: list[int],
         opened_rows: list[list[int]],
-        siblings: list[list[int]],
+        tag,
+        ext_rows: bool = False,
     ):
-        """In-circuit analog of MerkleMmcs.verify_batch.
+        """In-circuit analog of MerkleMmcs.verify_batch on one chain.
 
+        commitment: 8 base-coeff targets of the root digest;
         dims: (height, width) per matrix (heights powers of two);
-        index_bits: LSB-first bits of the opened index in the TALLEST
-        matrix; siblings: one 8-target digest per level.
+        index_bits: LSB-first bit targets of the opened index in the
+        TALLEST matrix; opened_rows: per matrix the opened row's wires
+        (base coeffs, or ext wires when ext_rows); tag: private-data key
+        prefix for (bit, sibling) per compression level.
         """
+        b = self.b
         heights = [h for h, _w in dims]
         max_h = max(heights)
         log_max = max_h.bit_length() - 1
         assert len(index_bits) >= log_max
-        assert len(siblings) == log_max
         by_height: dict[int, list] = {}
         for (h, _w), row in zip(dims, opened_rows):
             by_height.setdefault(h, []).extend(row)
-        node = self.sponge_hash(by_height[max_h])
+
+        chain = b.new_chain("mmcs_path")
+        if ext_rows:
+            self.absorb_ext(by_height[max_h], chain)
+        else:
+            self.absorb(by_height[max_h], chain)
+        # row_bits[i] = index bit fed at merkle row i (None for roll-ins)
+        row_bits: list = []
         h = max_h
+        n_rows = 0
         for level in range(log_max):
-            node = self.compress_ordered(
-                node, siblings[level], index_bits[level]
+            b.perm_call(
+                self.npo,
+                [None] * self.LIMBS,
+                [False] * self.LIMBS,
+                new_start=False,
+                merkle_path=True,
+                chain=chain,
+                tag=(tag, level),
             )
+            n_rows += 1
+            row_bits.append(index_bits[level])
             h //= 2
             if h in by_height:
-                node = self.compress(node, self.sponge_hash(by_height[h]))
-        for nc, cc in zip(node, commitment):
-            self.b.connect(nc, cc)
+                # inject the rolled-in height's digest (own side chain) on
+                # the sibling half, direction pinned left (bit private=0,
+                # enforced by the CTL'd right half + the S binding)
+                _c, leaf_op = self._digest_of(by_height[h], ext_rows)
+                inj = [
+                    b.npo_out_wire(leaf_op, i) for i in range(self.RATE_LIMBS)
+                ]
+                b.perm_call(
+                    self.npo,
+                    [None, None] + inj,
+                    [False] * self.LIMBS,
+                    new_start=False,
+                    merkle_path=True,
+                    chain=chain,
+                )
+                n_rows += 1
+                row_bits.append(None)
+        self.private_paths.append((tag, log_max))
+        if n_rows == 0:
+            # no path: the leaf digest is the root
+            last_op = b._chain_last[chain]
+            outs = [
+                b.npo_out_wire(last_op, i) for i in range(self.RATE_LIMBS)
+            ]
+            self._connect_root(outs, commitment)
+            return
+        # rebuild the final row with root + S exposure: the LAST perm_call
+        # above is the final row; expose its outputs and the index sum.
+        last_op = b._chain_last[chain]
+        call = b.npos[last_op]
+        outs = [b.npo_out_wire(last_op, i) for i in range(self.RATE_LIMBS)]
+        call.sum_out = b.g.npo_out(last_op, self.LIMBS)
+        self._connect_root(outs, commitment)
+        # expected index sum: S starts at the first merkle row's bit and
+        # doubles (+bit) per row; roll-in rows contribute bit 0.
+        expected = None
+        for bit in row_bits:
+            if expected is None:
+                expected = bit if bit is not None else b.zero
+            elif bit is None:
+                expected = b.add(expected, expected)
+            else:
+                expected = b.mul_add(b.const(2), expected, bit)
+        b.connect(call.sum_out, expected)
+
+    def _connect_root(self, out_limbs: list, commitment: list):
+        """Connect the chain's digest limbs to the (8 base-coeff)
+        commitment targets; the recompose is cached per commitment."""
+        b = self.b
+        key = tuple(commitment)
+        roots = self._root_cache.get(key)
+        if roots is None:
+            roots = [
+                self._recompose(commitment[4 * l : 4 * l + 4])
+                for l in range(self.RATE_LIMBS)
+            ]
+            self._root_cache[key] = roots
+        for o, r in zip(out_limbs, roots):
+            b.connect(o, r)

@@ -157,6 +157,8 @@ def prove_next_layer(
     runner.set_private_inputs(
         prep.vcr.pack_private_inputs(inner_proof.batch)
     )
+    for key, data in prep.vcr.pack_npo_private(inner_proof.batch).items():
+        runner.set_private_data(key, data)
     traces = runner.run()
     prover = BatchStarkProver(config)
     return prover.prove_all_tables(

@@ -143,7 +143,15 @@ def build_uni_verifier_circuit(
         ),
     ]
     _verify_fri_circuit(config, b, al, ch, mmcs, rounds, P)
-    return VerifierCircuitResult(b, al.pub, al.priv)
+    return VerifierCircuitResult(
+        b,
+        al.pub,
+        al.priv,
+        config=config,
+        record=ch.record,
+        src=al.src,
+        npo_specs=al.npo_specs,
+    )
 
 
 def build_uni_recursion_layer(config: StarkConfig, air: Air, log_n: int):
@@ -181,5 +189,7 @@ def prove_uni_recursively(
     runner = circuit.runner()
     runner.set_public_inputs(vcr.pack_public_inputs(view))
     runner.set_private_inputs(vcr.pack_private_inputs(view))
+    for key, data in vcr.pack_npo_private(view).items():
+        runner.set_private_data(key, data)
     traces = runner.run()
     return BatchStarkProver(config).prove_all_tables(circuit, traces, pdata)

@@ -11,8 +11,17 @@ Semantics (mirrors the reference's description in
   observe(v): clear output buffer; push v; duplex when input buffer reaches
               RATE (overwrite state[0:len], permute, refill output buffer).
   sample():   duplex first if input buffer non-empty or output buffer empty;
-              pop from the BACK of the output buffer (the reference's
-              `Vec::pop` discipline — first sample is state[RATE-1]).
+              pop from the FRONT of the output buffer (first sample is
+              state[0]).  DIVERGENCE from the reference's `Vec::pop`
+              back-pop: with front-pop, a sampled extension element's
+              coefficients coincide with one D-aligned limb of the
+              permutation output, so the recursive verifier's chained
+              challenger reads sampled values as table output limbs with
+              ZERO arithmetic rows.  The transcript is self-consistent
+              (prover/verifier/circuit all front-pop); reference
+              bit-exactness is already impossible (derived round
+              constants, see ops/poseidon2.py), so the cheaper
+              convention wins.
   sample_bits(b): sample, take the low b bits of the canonical value.
   grind(b):   find witness w so that observe(w); sample_bits(b) == 0 —
               searched in vectorized batches through the same permutation.
@@ -103,7 +112,7 @@ class DuplexChallenger:
     def sample(self) -> int:
         if self.input_buffer or not self.output_buffer:
             self._duplex()
-        return self.output_buffer.pop()
+        return self.output_buffer.pop(0)
 
     def sample_ext(self, ext: BinomialExtension) -> np.ndarray:
         return np.asarray([self.sample() for _ in range(ext.D)], dtype=U32)
@@ -141,8 +150,8 @@ class DuplexChallenger:
                 states[:, :k] = prefix
             states[:, k] = cand
             out = self.perm_fn(states)
-            # first sample pops the back of the output buffer: state[RATE-1]
-            samples = out[:, self.RATE - 1].astype(np.uint32)
+            # first sample pops the front of the output buffer: state[0]
+            samples = out[:, 0].astype(np.uint32)
             hits = np.nonzero((samples & mask) == 0)[0]
             if hits.size:
                 w = int(cand[hits[0]])

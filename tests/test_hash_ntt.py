@@ -171,9 +171,10 @@ def test_challenger_duplex_rules():
     state[0, :8] = np.arange(1, 9)
     want = permute(params, state, np)[0]
     assert np.array_equal(ch.state, want)
-    # first sample pops the back: state[7]
-    assert ch.sample() == int(want[7])
-    assert ch.sample() == int(want[6])
+    # first sample pops the front: state[0] (front-pop convention, see
+    # challenger.py docstring)
+    assert ch.sample() == int(want[0])
+    assert ch.sample() == int(want[1])
     # observing clears the output buffer
     ch.observe(99)
     assert ch.output_buffer == []
@@ -181,7 +182,7 @@ def test_challenger_duplex_rules():
     s2 = want.copy()
     s2[0] = 99
     want2 = permute(params, s2[None, :], np)[0]
-    assert ch.sample() == int(want2[7])
+    assert ch.sample() == int(want2[0])
 
 
 def test_challenger_determinism_and_divergence():

@@ -1,4 +1,6 @@
-"""In-circuit MMCS verification vs native Merkle commitments."""
+"""In-circuit MMCS verification vs native Merkle commitments (chained
+Poseidon2 table: siblings/direction bits are NPO private data, the final
+index-sum lookup binds the path to the index bits)."""
 
 import numpy as np
 import pytest
@@ -24,9 +26,22 @@ def build_gadget_circuit(dims, log_max):
     for bit in index_bits:
         b.assert_bool(bit)
     opened = [[b.private_input() for _ in range(w)] for _h, w in dims]
-    sibs = [[b.private_input() for _ in range(8)] for _ in range(log_max)]
-    gadget.verify_batch(commitment, dims, index_bits, opened, sibs)
+    gadget.verify_batch(commitment, dims, index_bits, opened, tag="T")
     return b.build()
+
+
+def _run(circuit, root, bits, opened, sibs, index, tamper=None):
+    r = circuit.runner()
+    r.set_public_inputs([int(x) for x in root] + bits)
+    priv = [int(v) for row in opened for v in row]
+    if tamper is not None:
+        priv[tamper] ^= 1
+    r.set_private_inputs(priv)
+    for lv, s in enumerate(sibs):
+        r.set_private_data(
+            ("T", lv), {"bit": (index >> lv) & 1, "sibling": np.asarray(s)}
+        )
+    return r.run()
 
 
 def test_mmcs_circuit_accepts_native_proof(rng):
@@ -37,14 +52,8 @@ def test_mmcs_circuit_accepts_native_proof(rng):
     circuit = build_gadget_circuit(dims, 4)
     for index in (0, 5, 15):
         opened, sibs = mmcs.open_batch(index, tree)
-        r = circuit.runner()
         bits = [(index >> i) & 1 for i in range(4)]
-        r.set_public_inputs([int(x) for x in root] + bits)
-        priv = [int(v) for row in opened for v in row] + [
-            int(v) for s in sibs for v in s
-        ]
-        r.set_private_inputs(priv)
-        r.run()  # passes iff the in-circuit root matches
+        _run(circuit, root, bits, opened, sibs, index)
 
 
 def test_mmcs_circuit_rejects_bad_proof(rng):
@@ -56,22 +65,33 @@ def test_mmcs_circuit_rejects_bad_proof(rng):
     opened, sibs = mmcs.open_batch(index, tree)
     bits = [(index >> i) & 1 for i in range(3)]
     # tamper an opened value
-    priv = [int(v) for row in opened for v in row]
-    priv[0] ^= 1
-    priv += [int(v) for s in sibs for v in s]
-    r = circuit.runner()
-    r.set_public_inputs([int(x) for x in root] + bits)
-    r.set_private_inputs(priv)
     with pytest.raises(WitnessConflict):
-        r.run()
-    # wrong index bits
-    r = circuit.runner()
+        _run(circuit, root, bits, opened, sibs, index, tamper=0)
+    # direction bits inconsistent with the claimed index bits: the runner
+    # computes a root for the wrong index -> root connect fails, and even
+    # if it matched, the index-sum lookup would not balance
     bad_bits = list(bits)
     bad_bits[0] ^= 1
-    r.set_public_inputs([int(x) for x in root] + bad_bits)
-    r.set_private_inputs(
-        [int(v) for row in opened for v in row]
-        + [int(v) for s in sibs for v in s]
-    )
     with pytest.raises(WitnessConflict):
-        r.run()
+        _run(circuit, root, bad_bits, opened, sibs, index)
+
+
+def test_mmcs_index_sum_binds_bits(rng):
+    """A prover using direction bits that disagree with the public index
+    bits cannot satisfy the index-sum binding even if the root happens to
+    connect: the sum wire is an NPO output, so the runner writes the
+    accumulated value and the expected-sum check row must then agree."""
+    mmcs = MerkleMmcs(KOALA_BEAR)
+    mats = [KOALA_BEAR.rand(rng, (8, 4))]
+    root, tree = mmcs.commit(mats)
+    circuit = build_gadget_circuit([(8, 4)], 3)
+    index = 5
+    opened, sibs = mmcs.open_batch(index, tree)
+    bits = [(index >> i) & 1 for i in range(3)]
+    traces = _run(circuit, root, bits, opened, sibs, index)
+    # sum wire must hold the bit-reversed accumulation of the path bits
+    want = 0
+    for lv in range(3):
+        want = 2 * want + ((index >> lv) & 1)
+    sum_wid = [c for c in circuit.npo_calls if c.sum_out is not None][0].sum_out
+    assert int(traces.witness[sum_wid][0]) == want

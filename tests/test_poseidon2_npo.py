@@ -24,7 +24,9 @@ def perm_circuit(n_perms=2):
     ins = [b.public_input() for _ in range(4)]
     outs = ins
     for i in range(n_perms):
-        outs = b.call_npo(npo.type_id, outs, tag=f"perm{i}")
+        outs, _ = b.perm_call(
+            npo.type_id, outs, [True] * 4, new_start=True, tag=f"perm{i}"
+        )
     # consume outputs so they hit the bus: out0 + out1 tagged
     s = b.add(outs[0], outs[1])
     b.tag("s", s)
@@ -65,7 +67,7 @@ def test_npo_proof_roundtrip(rng):
     assert prover.verify_all_tables(circuit, proof, pdata)
     # the Poseidon2 table is instance 3; its trace must participate in the
     # proof shape (2 perms x 30 rows -> padded 64)
-    assert proof.batch.shapes[3].width_main == 32
+    assert proof.batch.shapes[3].width_main == 34
     assert 1 << proof.batch.shapes[3].log_n == 64
 
 

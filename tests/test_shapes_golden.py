@@ -14,7 +14,7 @@ GOLDEN = [
     (lambda: AluAir(4, 3), (16, 12)),
     (lambda: AluAir(4, 3, lanes=4), (64, 48)),
     (lambda: AluAir(1, 0), (4, 12)),
-    (lambda: koala_bear_poseidon2_npo().table_air(), (32, 27)),
+    (lambda: koala_bear_poseidon2_npo().table_air(), (34, 49)),
 ]
 
 
@@ -39,4 +39,6 @@ def test_constraint_counts_pinned():
         counts[f"{type(air).__name__}_{air.width_main}"] = len(b.constraints)
     assert counts["AluAir_16"] == 16  # 4 kinds x D
     assert counts["AluAir_64"] == 64
-    assert counts["Poseidon2TableAir_32"] == 64  # 16 sbox + 3x16 transitions
+    # 16 sbox + 3x16 round transitions + chaining: 1 bit bool + 1 S kill
+    # + 1 S carry + 1 S accumulate + 4x(4 sponge + 4 zero) + 2x2x4 merkle
+    assert counts["Poseidon2TableAir_34"] == 116
