@@ -56,23 +56,25 @@ COL_B = 2 * WIDTH  # merkle direction bit (value column)
 COL_S = 2 * WIDTH + 1  # mmcs index accumulator (value column)
 MAIN_WIDTH = 2 * WIDTH + 2  # state | sbox | B | S
 
-# preprocessed layout
+# preprocessed layout.  The four limb CTL column pairs are DUAL-USE: on a
+# block's row 0 they receive the CTL'd input limbs, on its last row they
+# send the CTL'd output limbs — the interaction reads the same main state
+# columns either way, so one lookup serves both directions (fewer LogUp
+# aux columns).
 P_RC = 0  # 16 cols of round constants
 P_SEL_ME = 16  # initial external-linear-layer transition
 P_SEL_EXT = 17  # external round transition
 P_SEL_INT = 18  # internal round transition
-P_IN_IDX = 19  # 4 cols: D-scaled bus indices of CTL'd input limbs (row 0)
-P_IN_MULT = 23  # 4 cols: signed input multiplicities
-P_OUT_IDX = 27  # 4 cols: output limb indices (last row)
-P_OUT_MULT = 31  # 4 cols: signed output multiplicities
-P_SUM_IDX = 35  # index-sum binding (last row)
-P_SUM_MULT = 36
-P_SPONGE = 37  # 4 cols: sponge-chain gate per limb (row 0)
-P_MERKLE = 41  # 2 cols: merkle-chain gate per rate limb (row 0)
-P_MACC = 43  # index accumulator gate (row 0 of merkle rows)
-P_ZEROL = 44  # 4 cols: limb-must-be-zero gate (new-chain rows)
-P_MROW = 48  # 1 on EVERY row of a merkle block (kills S elsewhere)
-PREP_WIDTH = 49
+P_IO_IDX = 19  # 4 cols: D-scaled bus indices (row 0: inputs, last: outputs)
+P_IO_MULT = 23  # 4 cols: signed multiplicities
+P_SUM_IDX = 27  # index-sum binding (last row)
+P_SUM_MULT = 28
+P_SPONGE = 29  # 4 cols: sponge-chain gate per limb (row 0)
+P_MERKLE = 33  # 2 cols: merkle-chain gate per rate limb (row 0)
+P_MACC = 35  # index accumulator gate (row 0 of merkle rows)
+P_ZEROL = 36  # 4 cols: limb-must-be-zero gate (new-chain rows)
+P_MROW = 40  # 1 on EVERY row of a merkle block (kills S elsewhere)
+PREP_WIDTH = 41
 
 
 def _m4_exprs(c):
@@ -186,17 +188,9 @@ class Poseidon2TableAir(Air):
         for l in range(WIDTH_EXT):
             inters.append(
                 Interaction(
-                    [Var("preprocessed", P_IN_IDX + l, 0)]
+                    [Var("preprocessed", P_IO_IDX + l, 0)]
                     + [Var("main", l * d + j, 0) for j in range(d)],
-                    Var("preprocessed", P_IN_MULT + l, 0),
-                )
-            )
-        for l in range(WIDTH_EXT):
-            inters.append(
-                Interaction(
-                    [Var("preprocessed", P_OUT_IDX + l, 0)]
-                    + [Var("main", l * d + j, 0) for j in range(d)],
-                    Var("preprocessed", P_OUT_MULT + l, 0),
+                    Var("preprocessed", P_IO_MULT + l, 0),
                 )
             )
         inters.append(
@@ -316,8 +310,8 @@ class Poseidon2Npo:
             prep[base : base + rpp] = block
             for l, wid in enumerate(call.inputs):
                 if wid is not None:
-                    prep[base, P_IN_IDX + l] = wid * d
-                    prep[base, P_IN_MULT + l] = call.in_mults[l] % F.P
+                    prep[base, P_IO_IDX + l] = wid * d
+                    prep[base, P_IO_MULT + l] = call.in_mults[l] % F.P
             if call.new_start:
                 assert not call.merkle_path, "merkle rows never start chains"
                 for l, wid in enumerate(call.inputs):
@@ -338,8 +332,8 @@ class Poseidon2Npo:
                 prep[base : base + rpp, P_MROW] = 1
             for l, wid in enumerate(call.outputs):
                 if wid is not None:
-                    prep[last, P_OUT_IDX + l] = wid * d
-                    prep[last, P_OUT_MULT + l] = call.out_mults[l] % F.P
+                    prep[last, P_IO_IDX + l] = wid * d
+                    prep[last, P_IO_MULT + l] = call.out_mults[l] % F.P
             if call.sum_out is not None:
                 prep[last, P_SUM_IDX] = call.sum_out * d
                 prep[last, P_SUM_MULT] = call.sum_mult % F.P

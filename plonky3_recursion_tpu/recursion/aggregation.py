@@ -111,12 +111,47 @@ def prove_aggregation_layer(
     )
 
 
+class AggregationPrepCache:
+    """Fingerprint-keyed AggregationPrep reuse (reference
+    `AggregationPrepCache` keyed by `AggregationCircuitFingerprint`,
+    `recursion.rs:73-93`): at the aggregation tree's fixed point every
+    pair with like-shaped children reuses the circuit + offline prep."""
+
+    def __init__(self):
+        self._entries: dict = {}
+        self.hits = 0
+        self.misses = 0
+
+    def get_or_build(
+        self, config: StarkConfig, left: RecursionInput, right: RecursionInput
+    ) -> AggregationPrep:
+        from .recursion import inner_fingerprint
+
+        key = (
+            inner_fingerprint(config, left),
+            inner_fingerprint(config, right),
+        )
+        prep = self._entries.get(key)
+        if prep is None:
+            self.misses += 1
+            prep = build_aggregation_circuit(config, left, right)
+            self._entries[key] = prep
+        else:
+            self.hits += 1
+        return prep
+
+
 def build_and_prove_aggregation_layer(
     config: StarkConfig,
     left: RecursionInput,
     right: RecursionInput,
     xp=np,
+    cache: AggregationPrepCache | None = None,
 ) -> RecursionInput:
-    prep = build_aggregation_circuit(config, left, right)
+    prep = (
+        cache.get_or_build(config, left, right)
+        if cache is not None
+        else build_aggregation_circuit(config, left, right)
+    )
     proof = prove_aggregation_layer(config, prep, left.proof, right.proof, xp=xp)
     return RecursionInput(proof, prep.circuit, prep.pdata)

@@ -145,6 +145,63 @@ def build_next_layer_prep(
     return NextLayerPrep(outer_circuit, vcr, pdata)
 
 
+def inner_fingerprint(config: StarkConfig, inner: RecursionInput) -> tuple:
+    """Everything the next-layer circuit depends on: the inner proof's
+    instance shapes, the inner preprocessed commitment, and the inner
+    Const/Public terminal-check spec.  Two inners with equal fingerprints
+    produce IDENTICAL layer circuits, so prep (circuit + offline
+    preprocessed commitment) can be reused — the reference's circuit
+    fixed-point detection (`recursion.rs:295-342`,
+    `recursive_fibonacci.rs:385-443`)."""
+    inner_circuit, pdata = inner.circuit, inner.prover_data
+    shapes = tuple(
+        (
+            s.log_n,
+            s.width_main,
+            s.width_prep,
+            s.num_publics,
+            s.num_perm_cols,
+            s.log_quotient_degree,
+        )
+        for s in compute_shapes(config, inner_circuit, pdata)
+    )
+    prep_c = (
+        tuple(int(x) for x in pdata.common.prep_commitment)
+        if pdata.common.prep_commitment is not None
+        else None
+    )
+    tc = tuple(
+        (idx, tuple(rows)) for idx, rows in _terminal_checks(inner_circuit, pdata)
+    )
+    packing = (pdata.packing.public_lanes, pdata.packing.alu_lanes)
+    return (shapes, prep_c, tc, packing)
+
+
+class NextLayerPrepCache:
+    """Fingerprint-keyed cache of NextLayerPrep: once the recursion reaches
+    its circuit fixed point (layer k ≥ 2 shapes stabilize), every further
+    layer skips circuit building AND the offline preprocessed commitment
+    (reference `NextLayerPrepCache`, `recursion.rs:89,295`)."""
+
+    def __init__(self):
+        self._entries: dict = {}
+        self.hits = 0
+        self.misses = 0
+
+    def get_or_build(
+        self, config: StarkConfig, inner: RecursionInput
+    ) -> NextLayerPrep:
+        key = inner_fingerprint(config, inner)
+        prep = self._entries.get(key)
+        if prep is None:
+            self.misses += 1
+            prep = build_next_layer_prep(config, inner)
+            self._entries[key] = prep
+        else:
+            self.hits += 1
+        return prep
+
+
 def prove_next_layer(
     config: StarkConfig,
     prep: NextLayerPrep,
@@ -167,8 +224,15 @@ def prove_next_layer(
 
 
 def build_and_prove_next_layer(
-    config: StarkConfig, inner: RecursionInput, xp=np
+    config: StarkConfig,
+    inner: RecursionInput,
+    xp=np,
+    cache: NextLayerPrepCache | None = None,
 ) -> RecursionInput:
-    prep = build_next_layer_prep(config, inner)
+    prep = (
+        cache.get_or_build(config, inner)
+        if cache is not None
+        else build_next_layer_prep(config, inner)
+    )
     proof = prove_next_layer(config, prep, inner.proof, xp=xp)
     return RecursionInput(proof, prep.circuit, prep.pdata)

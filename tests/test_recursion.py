@@ -89,6 +89,38 @@ def test_recursion_rejects_tampered_inner_publics(layer1):
         prove_next_layer(config, prep, bad, debug_lookups=True)
 
 
+@pytest.mark.slow
+def test_two_layer_chain_and_prep_cache():
+    """Chain 2 recursion layers — layer 2 recursively verifies a proof that
+    itself contains the Poseidon2 table — and check prep-cache behavior:
+    same-fingerprint inners reuse the circuit + offline prep
+    (reference `recursion.rs:295-342`, `recursive_fibonacci.rs:385-443`)."""
+    from plonky3_recursion_tpu.recursion.recursion import (
+        NextLayerPrepCache,
+        inner_fingerprint,
+    )
+
+    config, inner = make_inner()
+    cache = NextLayerPrepCache()
+    layer1 = build_and_prove_next_layer(config, inner, cache=cache)
+    prover = BatchStarkProver(config)
+    assert prover.verify_all_tables(
+        layer1.circuit, layer1.proof, layer1.prover_data
+    )
+    layer2 = build_and_prove_next_layer(config, layer1, cache=cache)
+    assert prover.verify_all_tables(
+        layer2.circuit, layer2.proof, layer2.prover_data
+    )
+    assert cache.misses == 2 and cache.hits == 0
+    # an equal-fingerprint inner hits the cache and reuses the SAME prep
+    assert inner_fingerprint(config, layer1) == inner_fingerprint(
+        config, layer1
+    )
+    prep1 = cache.get_or_build(config, layer1)
+    assert cache.hits == 1
+    assert prep1 is cache.get_or_build(config, layer1)
+
+
 def _contains_subsequence(hay, needle):
     for i in range(len(hay) - len(needle) + 1):
         if hay[i : i + len(needle)] == needle:

@@ -14,7 +14,7 @@ GOLDEN = [
     (lambda: AluAir(4, 3), (16, 12)),
     (lambda: AluAir(4, 3, lanes=4), (64, 48)),
     (lambda: AluAir(1, 0), (4, 12)),
-    (lambda: koala_bear_poseidon2_npo().table_air(), (34, 49)),
+    (lambda: koala_bear_poseidon2_npo().table_air(), (34, 41)),
 ]
 
 
