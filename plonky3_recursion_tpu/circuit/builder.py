@@ -74,6 +74,10 @@ class CircuitBuilder:
         self._chain_last: dict = {}  # chain key -> last perm_call op_id
         self._chain_counter = 0
         self.recompose_src: dict = {}  # recomposed ext eid -> coeff eids
+        self._recompose_npo: str | None = None  # type_id when enabled
+        self._recompose_cse: dict = {}  # coeff tuple -> packed eid
+        self._horner_npo: str | None = None  # type_id when enabled
+        self._horner_k: int = 0
 
     # ----- leaf construction -----
 
@@ -231,8 +235,21 @@ class CircuitBuilder:
 
     def recompose_base_coeffs_to_ext(self, coeffs: list[int]) -> int:
         """Σ c_d·e_d for the extension basis e_d = x^d (coeffs must be
-        base-embedded)."""
+        base-embedded).
+
+        When a recompose NPO is enabled (`enable_recompose`), the bridge is
+        ONE zero-constraint table row bound purely by the bus (reference
+        `circuit/src/ops/recompose.rs`); otherwise D mul_add ALU rows."""
         assert len(coeffs) == self.E.D
+        if self._recompose_npo is not None:
+            key = tuple(coeffs)
+            hit = self._recompose_cse.get(key)
+            if hit is not None:
+                return hit
+            (acc,) = self.call_npo(self._recompose_npo, list(coeffs))
+            self._recompose_cse[key] = acc
+            self.recompose_src[acc] = list(coeffs)
+            return acc
         acc = 0
         for d2, c in enumerate(coeffs):
             basis = tuple(1 if j == d2 else 0 for j in range(self.E.D))
@@ -240,6 +257,32 @@ class CircuitBuilder:
         # remember the coefficient sources (transcript replay + challenger
         # coefficient-level observation of recomposed wires)
         self.recompose_src[acc] = list(coeffs)
+        return acc
+
+    def horner_eval(self, x: int, coeffs: list[int]) -> int:
+        """Σ coeffs[i]·x^i (coeffs[0] = constant term) via Horner.
+
+        With a Horner NPO enabled (`enable_horner`), K steps pack into one
+        degree-2 table row (reference packed HornerAcc,
+        `alu_air.rs:63-99`); otherwise one MULADD ALU row per step.
+        Short/partial chunks are padded IN FRONT with zero coefficients —
+        leading zeros are a no-op for a Horner chain starting at 0."""
+        if not coeffs:
+            return self.zero
+        rev = list(reversed(coeffs))
+        if self._horner_npo is None:
+            acc = self.zero
+            for c in rev:
+                acc = self.mul_add(acc, x, c)
+            return acc
+        k = self._horner_k
+        pad = (-len(rev)) % k
+        rev = [self.zero] * pad + rev
+        acc = self.zero
+        for start in range(0, len(rev), k):
+            (acc,) = self.call_npo(
+                self._horner_npo, [acc, x] + rev[start : start + k]
+            )
         return acc
 
     def decompose_ext_to_base_coeffs(self, x: int) -> list[int]:
@@ -263,6 +306,18 @@ class CircuitBuilder:
 
     def enable_op(self, plugin, config=None):
         self.enabled_ops[plugin.type_id] = (plugin, config)
+
+    def enable_recompose(self, plugin, config=None):
+        """Route `recompose_base_coeffs_to_ext` through the zero-constraint
+        recompose table (reference `enable_recompose`)."""
+        self.enable_op(plugin, config)
+        self._recompose_npo = plugin.type_id
+
+    def enable_horner(self, plugin, config=None):
+        """Route `horner_eval` through the K-step packed Horner table."""
+        self.enable_op(plugin, config)
+        self._horner_npo = plugin.type_id
+        self._horner_k = plugin.k
 
     def call_npo(self, type_id: str, inputs: list[int], tag=None) -> list[int]:
         plugin, config = self.enabled_ops[type_id]

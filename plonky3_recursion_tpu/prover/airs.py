@@ -2,17 +2,22 @@
 
 TPU-native equivalent of the reference's `p3-circuit-prover` AIR layer
 (`circuit-prover/src/air/{const_air,public_air,alu_air}.rs`;
-SURVEY.md §2.2).  Layouts (single lane; reference-style lane packing is a
-planned optimization):
+SURVEY.md §2.2).  Layouts:
 
-  ConstAir   main: D value cols            prep: [mult, idx]
-  PublicAir  main: D value cols            prep: [mult, idx]
-  AluAir     main: 4·D cols (a|b|c|out)    prep: [idx_a, idx_b, idx_c,
+  ConstAir   main: 1 zero col              prep: [mult, idx, v_0..v_{D-1}]
+  PublicAir  main: D value cols / lane     prep: [mult, idx] / lane
+  AluAir     main: 4·D cols (a|b|c|out)/ln prep: [idx_a, idx_b, idx_c,
              idx_out, mult_a, mult_b, mult_c, mult_out,
-             sel_add, sel_mul, sel_muladd, sel_bool]
+             sel_add, sel_mul, sel_muladd, sel_bool] / lane
 
-Const/Public have no constraints — their soundness is the WitnessChecks bus
-plus native terminal recomputation (values are statically known / public).
+ConstAir keeps the constant VALUES in its preprocessed columns (reference
+`const_air.rs:1-100` and `book/.../lookups.md` "Both the index and the
+value are fully preprocessed"): the constant table is part of the circuit
+identity, bound by the offline preprocessed commitment rather than by
+per-proof data.  This is what makes verifier-circuit fixed points possible
+— the outer circuit never needs the inner circuit's constant values.
+Public has no constraints either — its soundness is the WitnessChecks bus
+plus native terminal recomputation from the claimed public inputs.
 AluAir constrains, per selector, with extension multiplication expanded to
 the binomial convolution over the D base coefficient columns (x^D = W, so
 all constraints stay degree ≤ 3 after selector gating).
@@ -40,6 +45,45 @@ ALU_PREP_WIDTH = 12
 
 
 class ConstAir(Air):
+    """Fully-preprocessed constant chip: per lane [mult, idx, v_0..v_{D-1}]
+    preprocessed columns; the interaction tuple (idx, v…) reads preprocessed
+    variables only, so the bus send is bound by the offline prep commitment.
+    The main matrix is one committed zero column (the batch layout needs a
+    main matrix per instance)."""
+
+    num_publics = 0
+
+    def __init__(self, d: int, lanes: int = 1):
+        self.d = d
+        self.lanes = lanes
+        self.width_main = 1
+        self.width_prep = (2 + d) * lanes
+
+    def eval(self, b):
+        pass
+
+    def cache_key(self):
+        return (type(self).__name__, self.d, self.lanes)
+
+    def lookups(self):
+        d = self.d
+        inters = []
+        for l in range(self.lanes):
+            base = (2 + d) * l
+            inters.append(
+                Interaction(
+                    [Var("preprocessed", base + 1, 0)]
+                    + [
+                        Var("preprocessed", base + 2 + j, 0)
+                        for j in range(d)
+                    ],
+                    Var("preprocessed", base, 0),
+                )
+            )
+        return [Lookup(BUS, inters)]
+
+
+class PublicAir(Air):
     """Lane-packed value-send chip: `lanes` logical rows per trace row,
     each lane D value cols (main) + [mult, idx] (prep)."""
 
@@ -69,10 +113,6 @@ class ConstAir(Air):
                 )
             )
         return [Lookup(BUS, inters)]
-
-
-class PublicAir(ConstAir):
-    pass
 
 
 class AluAir(Air):

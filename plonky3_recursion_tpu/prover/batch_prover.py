@@ -102,10 +102,12 @@ def build_preprocessed(
     packing = packing or TablePacking()
     F = circuit.ext.base
     d = circuit.ext.D
-    # const
-    cp = np.zeros((len(circuit.const_rows), 2), dtype=U32)
-    for i, (w, _v, m) in enumerate(circuit.const_rows):
-        cp[i] = (_signed(F, m), w * d)
+    # const: values live IN the preprocessed columns (circuit identity)
+    cp = np.zeros((len(circuit.const_rows), 2 + d), dtype=U32)
+    for i, (w, v, m) in enumerate(circuit.const_rows):
+        cp[i, 0] = _signed(F, m)
+        cp[i, 1] = w * d
+        cp[i, 2:] = v
     # public
     pp = np.zeros((len(circuit.public_rows), 2), dtype=U32)
     for i, w in enumerate(circuit.public_rows):
@@ -140,9 +142,8 @@ def build_main_tables(
     packing = packing or TablePacking()
     d = circuit.ext.D
     wit = traces.witness
-    cm = np.zeros((len(circuit.const_rows), d), dtype=U32)
-    for i, (w, v, _m) in enumerate(circuit.const_rows):
-        cm[i] = v
+    # const values are preprocessed; the main matrix is one zero column
+    cm = np.zeros((len(circuit.const_rows), 1), dtype=U32)
     pm = wit[np.asarray(circuit.public_rows, dtype=np.int64)]
     if len(circuit.alu_rows):
         a = wit[np.asarray([r.a for r in circuit.alu_rows], dtype=np.int64)]
@@ -296,13 +297,22 @@ class BatchStarkProver:
         airs = _airs(config, circuit, prover_data.packing)
         airs_lookups = [(air, air.lookups()) for air in airs]
         verify_batch(config, airs_lookups, proof.batch, prover_data.common)
+        # circuit-identity binding: a proof claiming a different offline
+        # preprocessed commitment is not a proof of THIS circuit
+        if proof.batch.prep_commitment is not None and not np.array_equal(
+            np.asarray(proof.batch.prep_commitment, dtype=U32),
+            np.asarray(prover_data.common.prep_commitment, dtype=U32),
+        ):
+            raise ValueError("prep commitment mismatch (wrong circuit)")
         # bind publics: proof's claimed instance publics must match
         pubs = np.asarray(proof.public_values, dtype=U32)
         if [int(x) for x in pubs.reshape(-1)] != list(
             proof.batch.publics[1]
         ):
             raise ValueError("public values mismatch")
-        # natively recompute Const and Public terminals to bind values
+        # natively recompute the Public terminal to bind the claimed public
+        # inputs to the bus.  (Const values are preprocessed — bound by the
+        # offline preprocessed commitment, no value recomputation needed.)
         names = sorted({"WitnessChecks"})
         # challenges must be re-derived exactly as verify_batch did
         ch = config.challenger()
@@ -319,17 +329,6 @@ class BatchStarkProver:
         d = circuit.ext.D
         term_by_inst = dict(proof.batch.lookup_terminals)
         for inst_idx, prep, values in (
-            (
-                0,
-                prover_data.preps[0],
-                _pad_rows(
-                    np.asarray(
-                        [v for _w, v, _m in circuit.const_rows], dtype=U32
-                    ).reshape(-1, d),
-                    prover_data.preps[0].shape[0],
-                    d,
-                ),
-            ),
             (
                 1,
                 # lane-packed prep flattens back to logical [mult, idx] rows

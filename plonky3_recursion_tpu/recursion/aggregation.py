@@ -56,11 +56,20 @@ def build_aggregation_circuit(
 ) -> AggregationPrep:
     from ..prover.poseidon2_table import koala_bear_poseidon2_npo
 
+    from ..prover.recompose_table import koala_bear_recompose_npo
+
     builder = CircuitBuilder(config.ext)
     npo = koala_bear_poseidon2_npo()
     builder.enable_op(npo)
+    builder.enable_recompose(koala_bear_recompose_npo())
     vcrs = []
     for ns, child in (("L", left), ("R", right)):
+        d = child.circuit.ext.D
+        app_idx = child.app_public_idx
+        if app_idx is None:
+            app_idx = [
+                k * d for k in range(len(child.circuit.public_rows))
+            ]
         airs = _airs(config, child.circuit, child.prover_data.packing)
         vcrs.append(
             build_batch_verifier_circuit(
@@ -74,6 +83,7 @@ def build_aggregation_circuit(
                     child.circuit, child.prover_data
                 ),
                 tag_ns=ns,
+                app_public_idx=set(app_idx),
             )
         )
     circuit = builder.build()
@@ -154,4 +164,9 @@ def build_and_prove_aggregation_layer(
         else build_aggregation_circuit(config, left, right)
     )
     proof = prove_aggregation_layer(config, prep, left.proof, right.proof, xp=xp)
-    return RecursionInput(proof, prep.circuit, prep.pdata)
+    d = prep.circuit.ext.D
+    off = len(prep.vcr_left.public_extractors)
+    app = [p * d for p in prep.vcr_left.app_public_positions] + [
+        (off + p) * d for p in prep.vcr_right.app_public_positions
+    ]
+    return RecursionInput(proof, prep.circuit, prep.pdata, app_public_idx=app)

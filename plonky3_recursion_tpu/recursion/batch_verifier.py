@@ -15,9 +15,19 @@ verification: per-query reduced openings with in-circuit MMCS paths,
 final-polynomial Horner check.  Query index bits come from in-circuit
 `sample_bits`.
 
-Value visibility (reference convention, `public_inputs.rs`): commitments,
-inner public values and lookup terminals are PUBLIC inputs of the outer
-circuit; opened values, FRI query data and Merkle siblings are PRIVATE.
+Value visibility: the outer circuit exposes ONLY (a) the inner circuit's
+offline preprocessed commitment — the identity pin, 8 targets — and (b)
+the inner's APP public block (the propagated application statement).
+Everything else — trace/perm/quotient commitments, lookup terminals,
+opened values, FRI query data, Merkle siblings — is PRIVATE witness data:
+it is jointly constrained by the in-circuit transcript replay (challenges
+are derived in-circuit, so Fiat-Shamir binds the private commitments) and
+the in-circuit MMCS/FRI checks.  This keeps the outer public-input count
+CONSTANT across recursion layers, which together with the value-free
+circuit structure gives the verifier-circuit fixed point (the reference
+reaches the same effect by proving primitive tables with empty per-table
+public values, `batch_stark_prover.rs:1495-1520`, and passing
+`table_public_inputs: vec![]` when chaining, `recursion.rs:136`).
 Allocation and proof-packing can never drift: every allocated target
 carries an extractor closure, and `pack_*` simply runs the closures
 against the inner proof.
@@ -53,6 +63,9 @@ class VerifierCircuitResult:
     record: list = dataclasses.field(default_factory=list)
     src: dict = dataclasses.field(default_factory=dict)
     npo_specs: list = dataclasses.field(default_factory=list)
+    # positions of the propagated APP block within THIS circuit's own
+    # public-input layout (feed as app_public_idx when recursing on it)
+    app_public_positions: list = dataclasses.field(default_factory=list)
 
     def pack_public_inputs(self, proof: BatchProof) -> list:
         return [f(proof) for f in self.public_extractors]
@@ -162,6 +175,7 @@ def build_batch_verifier_circuit(
     npo_type_id: str | None = None,
     terminal_checks: list | None = None,
     tag_ns: str = "",
+    app_public_idx: list | None = None,
 ) -> VerifierCircuitResult:
     """Lower `verify_batch(config, airs_lookups, proof, common)` into a
     circuit for proofs with the given instance shapes.
@@ -171,8 +185,15 @@ def build_batch_verifier_circuit(
     (static constants) or ("public", flat_index) referencing the inner
     public values.  The circuit recomputes those instances' LogUp terminals
     from first principles and connects them to the claimed terminals —
-    the in-circuit analog of the native verifier's Const/Public terminal
-    recomputation (which binds committed constants and publics to the bus).
+    the in-circuit analog of the native verifier's Public terminal
+    recomputation (which binds the claimed public inputs to the bus).
+
+    app_public_idx: flat indices (into the concatenated inner publics) of
+    the APP block — the propagated application statement.  Those targets
+    are PUBLIC inputs of the outer circuit (re-exposed verbatim); all
+    other inner publics are private witnesses, bound through the inner
+    Public-table terminal recomputation.  None = every inner public is app
+    (the base layer).
     """
     F, E = config.field, config.ext
     P = config.pcs.params
@@ -181,9 +202,11 @@ def build_batch_verifier_circuit(
     if builder is None:
         builder = CircuitBuilder(E)
         from ..prover.poseidon2_table import koala_bear_poseidon2_npo
+        from ..prover.recompose_table import koala_bear_recompose_npo
 
         npo = koala_bear_poseidon2_npo()
         builder.enable_op(npo)
+        builder.enable_recompose(koala_bear_recompose_npo())
         npo_type_id = npo.type_id
     b = builder
     al = _Alloc(b)
@@ -216,19 +239,36 @@ def build_batch_verifier_circuit(
             1 << s.log_quotient_degree,
         ):
             ch.observe(b.const(v))
-    # preprocessed commitment is fixed at circuit build time -> constants
+    # the inner circuit's offline preprocessed commitment: the outer
+    # circuit's identity pin for the inner.  A PUBLIC input (reference
+    # `StarkVerifierInputs` slot 3, `public_inputs.rs:328-343`) so the
+    # circuit structure stays independent of the inner commitment value —
+    # the prerequisite for verifier-circuit fixed points across layers.
+    prep_commit_t = None
     if common.prep_commitment is not None:
-        for v in common.prep_commitment:
-            ch.observe(b.const(int(v)))
-    trace_commit = al.public_vec(
+        prep_commit_t = al.public_vec(
+            8, lambda pf, i: int(np.asarray(pf.prep_commitment)[i])
+        )
+        ch.observe_slice(prep_commit_t)
+    trace_commit = al.private_vec(
         8, lambda pf, i: int(pf.trace_commit[i])
     )
     ch.observe_slice(trace_commit)
     inner_publics = []
+    app_positions = []  # positions of app targets in the OUTER public layout
+    flat_i = 0
     for ii, s in enumerate(shapes):
-        ptargets = al.public_vec(
-            s.num_publics, _bind(lambda pf, ii, i: int(pf.publics[ii][i]), ii)
-        )
+        ptargets = []
+        for i in range(s.num_publics):
+            extract = _bind(
+                lambda pf, ii, i: int(pf.publics[ii][i]), ii, i
+            )
+            if app_public_idx is None or flat_i in app_public_idx:
+                app_positions.append(len(al.pub))
+                ptargets.append(al.public(extract))
+            else:
+                ptargets.append(al.private(extract))
+            flat_i += 1
         inner_publics.append(ptargets)
         ch.observe_slice(ptargets)
     challenges = {}
@@ -239,12 +279,12 @@ def build_batch_verifier_circuit(
     has_perm = any(lks for _a, lks in airs_lookups)
     term_targets: dict[int, int] = {}
     if has_perm:
-        perm_commit = al.public_vec(8, lambda pf, i: int(pf.perm_commit[i]))
+        perm_commit = al.private_vec(8, lambda pf, i: int(pf.perm_commit[i]))
         ch.observe_slice(perm_commit)
         for k, (ii, _lks) in enumerate(
             [(i, lks) for i, (_a, lks) in enumerate(airs_lookups) if lks]
         ):
-            coeffs = al.public_vec(
+            coeffs = al.private_vec(
                 d,
                 _bind(
                     lambda pf, k, j: int(
@@ -256,7 +296,7 @@ def build_batch_verifier_circuit(
             ch.observe_slice(coeffs)
             term_targets[ii] = b.recompose_base_coeffs_to_ext(coeffs)
     alpha = ch.sample_ext()
-    quotient_commit = al.public_vec(
+    quotient_commit = al.private_vec(
         8, lambda pf, i: int(pf.quotient_commit[i])
     )
     ch.observe_slice(quotient_commit)
@@ -270,22 +310,18 @@ def build_batch_verifier_circuit(
     flat_publics = [t for ts in inner_publics for t in ts]
     for inst_idx, rows in terminal_checks or []:
         a_t, b_t = challenges["WitnessChecks"]
-        apw = [b.one()]
-        for _ in range(d):
-            apw.append(b.mul(apw[-1], a_t))
         acc = b.zero
         for mult, idx, value_spec in rows:
             if mult % p == 0:
                 continue
-            comp = b.const(idx)
             if value_spec and value_spec[0] == "public":
                 vals = [
                     flat_publics[value_spec[1] + j] for j in range(d)
                 ]
             else:
                 vals = [b.const(int(v)) for v in value_spec]
-            for j in range(d):
-                comp = b.mul_add(vals[j], apw[1 + j], comp)
+            # idx + Σ_j v_j·α^{1+j} as one Horner chain
+            comp = b.horner_eval(a_t, [b.const(idx)] + vals)
             acc = b.add(acc, b.div(b.const(mult % p), b.sub(b_t, comp)))
         b.connect(acc, term_targets[inst_idx])
 
@@ -437,9 +473,6 @@ def build_batch_verifier_circuit(
         )
     rounds.append(("trace", trace_commit, trace_mats))
     if common.prep_commitment is not None:
-        prep_commit_t = [
-            b.const(int(v)) for v in common.prep_commitment
-        ]
         prep_mats = []
         for k, ii in enumerate(prep_order):
             s = shapes[ii]
@@ -483,6 +516,7 @@ def build_batch_verifier_circuit(
         record=ch.record,
         src=al.src,
         npo_specs=al.npo_specs,
+        app_public_positions=app_positions,
     )
 
 

@@ -38,11 +38,19 @@ from .batch_verifier import VerifierCircuitResult, build_batch_verifier_circuit
 
 @dataclasses.dataclass
 class RecursionInput:
-    """A proof + the static data needed to verify it recursively."""
+    """A proof + the static data needed to verify it recursively.
+
+    app_public_idx: flat indices (into the proof's flattened public
+    coefficient list) of the APP block — the application statement the
+    recursion chain propagates verbatim.  None (the base case) means
+    coefficient 0 of every public input.  Layer outputs carry the
+    positions of their own app block so the chain stays constant-width.
+    """
 
     proof: BatchStarkProof
     circuit: Circuit
     prover_data: CircuitProverData
+    app_public_idx: list | None = None
 
 
 @dataclasses.dataclass
@@ -91,28 +99,35 @@ def compute_shapes(config: StarkConfig, circuit: Circuit, pdata) -> list:
 
 
 def _terminal_checks(circuit: Circuit, pdata) -> list:
-    """Const/Public terminal recomputation specs for the verifier circuit."""
+    """Public terminal recomputation spec for the verifier circuit.
+
+    Only the Public table needs in-circuit terminal recomputation: its
+    values are per-proof claims.  Const values are preprocessed — bound by
+    the inner preprocessed commitment — so the spec is value-free, which
+    keeps verifier circuits structurally identical across recursion layers
+    (the fixed point, reference `recursion.rs:295-342`)."""
     d = circuit.ext.D
-    const_rows = [
-        (m, w * d, tuple(int(x) for x in v))
-        for (w, v, m) in circuit.const_rows
-    ]
     pub_rows = [
         (circuit.public_mults[i], w * d, ("public", i * d))
         for i, w in enumerate(circuit.public_rows)
     ]
-    return [(0, const_rows), (1, pub_rows)]
+    return [(1, pub_rows)]
 
 
 def build_next_layer_circuit(
     config: StarkConfig, inner: RecursionInput | tuple
 ) -> tuple[Circuit, VerifierCircuitResult]:
     """Build the circuit verifying proofs shaped like `inner`'s."""
-    inner_circuit, inner_pdata = (
-        (inner.circuit, inner.prover_data)
-        if isinstance(inner, RecursionInput)
-        else inner
-    )
+    if isinstance(inner, RecursionInput):
+        inner_circuit, inner_pdata = inner.circuit, inner.prover_data
+        app_idx = inner.app_public_idx
+    else:
+        inner_circuit, inner_pdata = inner
+        app_idx = None
+    d = inner_circuit.ext.D
+    if app_idx is None:
+        # base case: coefficient 0 of every inner public input
+        app_idx = [k * d for k in range(len(inner_circuit.public_rows))]
     airs = _airs(config, inner_circuit, inner_pdata.packing)
     airs_lookups = [(a, a.lookups()) for a in airs]
     shapes = compute_shapes(config, inner_circuit, inner_pdata)
@@ -122,6 +137,7 @@ def build_next_layer_circuit(
         shapes,
         inner_pdata.common,
         terminal_checks=_terminal_checks(inner_circuit, inner_pdata),
+        app_public_idx=set(app_idx),
     )
     outer_circuit = vcr.builder.build()
     return outer_circuit, vcr
@@ -147,11 +163,12 @@ def build_next_layer_prep(
 
 def inner_fingerprint(config: StarkConfig, inner: RecursionInput) -> tuple:
     """Everything the next-layer circuit depends on: the inner proof's
-    instance shapes, the inner preprocessed commitment, and the inner
-    Const/Public terminal-check spec.  Two inners with equal fingerprints
-    produce IDENTICAL layer circuits, so prep (circuit + offline
-    preprocessed commitment) can be reused — the reference's circuit
-    fixed-point detection (`recursion.rs:295-342`,
+    instance shapes, the (value-free) Public terminal-check spec, and the
+    packing.  The verifier circuit is purely STRUCTURAL — const values are
+    preprocessed and the inner prep commitment is a public input — so two
+    inners with equal fingerprints produce IDENTICAL layer circuits and
+    prep (circuit + offline preprocessed commitment) can be reused: the
+    reference's circuit fixed-point detection (`recursion.rs:295-342`,
     `recursive_fibonacci.rs:385-443`)."""
     inner_circuit, pdata = inner.circuit, inner.prover_data
     shapes = tuple(
@@ -165,16 +182,20 @@ def inner_fingerprint(config: StarkConfig, inner: RecursionInput) -> tuple:
         )
         for s in compute_shapes(config, inner_circuit, pdata)
     )
-    prep_c = (
-        tuple(int(x) for x in pdata.common.prep_commitment)
-        if pdata.common.prep_commitment is not None
-        else None
-    )
+    has_prep = pdata.common.prep_commitment is not None
     tc = tuple(
         (idx, tuple(rows)) for idx, rows in _terminal_checks(inner_circuit, pdata)
     )
     packing = (pdata.packing.public_lanes, pdata.packing.alu_lanes)
-    return (shapes, prep_c, tc, packing)
+    d = inner_circuit.ext.D
+    app = tuple(
+        sorted(
+            inner.app_public_idx
+            if inner.app_public_idx is not None
+            else [k * d for k in range(len(inner_circuit.public_rows))]
+        )
+    )
+    return (shapes, has_prep, tc, packing, app)
 
 
 class NextLayerPrepCache:
@@ -235,4 +256,10 @@ def build_and_prove_next_layer(
         else build_next_layer_prep(config, inner)
     )
     proof = prove_next_layer(config, prep, inner.proof, xp=xp)
-    return RecursionInput(proof, prep.circuit, prep.pdata)
+    d = prep.circuit.ext.D
+    return RecursionInput(
+        proof,
+        prep.circuit,
+        prep.pdata,
+        app_public_idx=[p * d for p in prep.vcr.app_public_positions],
+    )

@@ -30,43 +30,53 @@ def compile_exprs(builder, exprs: list[SExpr], bindings: dict) -> list[int]:
     """
     cache: dict[int, int] = {}
 
-    def ev(e: SExpr) -> int:
-        got = cache.get(e.eid)
-        if got is not None:
-            return got
+    def leaf(e: SExpr):
         if isinstance(e, Const):
-            t = builder.const(e.value)
-        elif isinstance(e, Public):
-            t = bindings["publics"][e.idx]
-        elif isinstance(e, Challenge):
-            t = bindings["challenges"][e.idx]
-        elif isinstance(e, Terminal):
-            t = bindings["terminals"][e.idx]
-        elif isinstance(e, RowSel):
-            t = bindings["sels"][e.kind]
-        elif isinstance(e, Var):
-            t = bindings[e.segment][e.offset][e.col]
-        elif isinstance(e, Bin):
-            a, b = ev(e.a), ev(e.b)
+            return builder.const(e.value)
+        if isinstance(e, Public):
+            return bindings["publics"][e.idx]
+        if isinstance(e, Challenge):
+            return bindings["challenges"][e.idx]
+        if isinstance(e, Terminal):
+            return bindings["terminals"][e.idx]
+        if isinstance(e, RowSel):
+            return bindings["sels"][e.kind]
+        if isinstance(e, Var):
+            return bindings[e.segment][e.offset][e.col]
+        raise TypeError(type(e))
+
+    def ev(root: SExpr) -> int:
+        # iterative post-order walk — deep Horner/fold chains exceed
+        # Python's recursion limit (the reference deliberately walks
+        # iteratively too, `circuit/src/symbolic/compiler.rs:24-47`)
+        stack = [(root, False)]
+        while stack:
+            e, ready = stack.pop()
+            if e.eid in cache:
+                continue
+            if not isinstance(e, Bin):
+                cache[e.eid] = leaf(e)
+                continue
+            if not ready:
+                stack.append((e, True))
+                stack.append((e.a, False))
+                stack.append((e.b, False))
+                continue
+            a, b = cache[e.a.eid], cache[e.b.eid]
             if e.op == "add":
                 t = builder.add(a, b)
             elif e.op == "sub":
                 t = builder.sub(a, b)
             else:
                 t = builder.mul(a, b)
-        else:
-            raise TypeError(type(e))
-        cache[e.eid] = t
-        return t
+            cache[e.eid] = t
+        return cache[root.eid]
 
     return [ev(e) for e in exprs]
 
 
 def fold_constraints_circuit(builder, exprs, bindings, alpha_target) -> int:
-    """Σ α^i·C_i as a circuit target (Horner over the constraint list:
-    acc = acc·α + C_{n-1-i}, avoiding explicit power targets)."""
+    """Σ α^i·C_i as a circuit target (Horner over the constraint list;
+    packed K-step table rows when a Horner NPO is enabled)."""
     vals = compile_exprs(builder, exprs, bindings)
-    acc = builder.zero
-    for v in reversed(vals):
-        acc = builder.mul_add(acc, alpha_target, v)
-    return acc
+    return builder.horner_eval(alpha_target, vals)

@@ -90,6 +90,11 @@ class BatchProof:
     lookup_terminals: list  # [(inst_idx, (D,))]
     publics: list
     fri: FriProof
+    # the circuit's offline preprocessed commitment (circuit identity;
+    # reference carries it via `BatchStarkProof.stark_common`).  In the
+    # proof so recursion extractors can feed it as a PUBLIC input of the
+    # outer circuit without baking the value into the circuit structure.
+    prep_commitment: np.ndarray | None = None
 
 
 def _instance_builder(inst: StarkInstance, challenge_idx: dict[str, int]):
@@ -357,6 +362,11 @@ def prove_batch(
         lookup_terminals=[(i, np.asarray(t)) for i, t in terminals],
         publics=[list(inst.publics) for inst in instances],
         fri=fri_proof,
+        prep_commitment=(
+            None
+            if common.prep_commitment is None
+            else np.asarray(common.prep_commitment, dtype=U32)
+        ),
     )
 
 
@@ -371,6 +381,17 @@ def verify_batch(
     from ..utils.serde import validate_batch_proof
 
     validate_batch_proof(proof, config)
+    want_prep = common.prep_commitment if common is not None else None
+    if (proof.prep_commitment is None) != (want_prep is None) or (
+        want_prep is not None
+        and not np.array_equal(
+            np.asarray(proof.prep_commitment, dtype=U32),
+            np.asarray(want_prep, dtype=U32),
+        )
+    ):
+        raise ValueError(
+            "proof's preprocessed commitment does not match common data"
+        )
     names = sorted({lk.name for _a, lks in airs_lookups for lk in lks})
     challenge_idx = {nm: 2 * i for i, nm in enumerate(names)}
     shapes = proof.shapes

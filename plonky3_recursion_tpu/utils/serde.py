@@ -124,14 +124,17 @@ def batch_proof_to_bytes(proof: BatchProof) -> bytes:
                 for qp in proof.fri.query_proofs
             ],
         ],
+        None
+        if proof.prep_commitment is None
+        else np.asarray(proof.prep_commitment),
     ]
-    out = bytearray(b"P3TB\x01")
+    out = bytearray(b"P3TB\x02")
     _pack(tree, out)
     return bytes(out)
 
 
 def batch_proof_from_bytes(data: bytes) -> BatchProof:
-    assert data[:5] == b"P3TB\x01", "bad proof magic/version"
+    assert data[:5] == b"P3TB\x02", "bad proof magic/version"
     tree, _pos = _unpack(memoryview(data), 5)
     (
         shapes_t,
@@ -145,6 +148,7 @@ def batch_proof_from_bytes(data: bytes) -> BatchProof:
         terminals,
         publics,
         fri_t,
+        prep_commitment,
     ) = tree
     shapes = [InstanceShape(*s) for s in shapes_t]
     fri = FriProof(
@@ -172,6 +176,7 @@ def batch_proof_from_bytes(data: bytes) -> BatchProof:
         lookup_terminals=[(i, t) for i, t in terminals],
         publics=publics,
         fri=fri,
+        prep_commitment=prep_commitment,
     )
     validate_batch_proof(proof)
     return proof
@@ -225,6 +230,8 @@ def validate_batch_proof(proof: BatchProof, config=None):
     )
     if proof.perm_commit is not None:
         commits.append(proof.perm_commit)
+    if proof.prep_commitment is not None:
+        commits.append(proof.prep_commitment)
     for arr in commits:
         if np.asarray(arr).shape != (8,):
             raise ValueError("bad commitment shape")

@@ -55,14 +55,16 @@ def test_recursion_layer_proves_and_verifies(layer1):
     proof1 = prove_next_layer(config, prep, inner.proof, debug_lookups=True)
     prover = BatchStarkProver(config)
     assert prover.verify_all_tables(prep.circuit, proof1, prep.pdata)
-    # the outer proof exposes the inner publics among its public values:
-    # each inner base coefficient becomes one base-embedded outer public
+    # the outer proof exposes the APP block (the inner publics' coeff-0
+    # values) among its own public values, after the 8-element prep pin
     rows = [tuple(int(x) for x in r) for r in np.asarray(proof1.public_values)]
     needle = [
         (int(v), 0, 0, 0)
-        for v in np.asarray(inner.proof.public_values).reshape(-1)
+        for v in np.asarray(inner.proof.public_values)[:, 0]
     ]
     assert _contains_subsequence(rows, needle)
+    # constant public width: pin (8) + app block
+    assert len(rows) == 8 + len(needle)
 
 
 def test_recursion_rejects_tampered_inner_proof(layer1):
@@ -112,13 +114,41 @@ def test_two_layer_chain_and_prep_cache():
         layer2.circuit, layer2.proof, layer2.prover_data
     )
     assert cache.misses == 2 and cache.hits == 0
-    # an equal-fingerprint inner hits the cache and reuses the SAME prep
-    assert inner_fingerprint(config, layer1) == inner_fingerprint(
-        config, layer1
+    # app block propagates verbatim: layer2 re-exposes the same 3 fib
+    # values after its 8-element prep pin, at constant public width
+    l1 = np.asarray(layer1.proof.public_values)
+    l2 = np.asarray(layer2.proof.public_values)
+    assert l1.shape == l2.shape == (11, 4)
+    assert np.array_equal(l1[8:], l2[8:])
+    # circuit fixed point: keep building (no proving) until the verifier
+    # circuit's fingerprint stabilizes — reached by layer 4, after which
+    # the prep cache hits forever (reference `recursion.rs:295-342`)
+    from plonky3_recursion_tpu.recursion.recursion import (
+        RecursionInput,
+        build_next_layer_prep,
     )
-    prep1 = cache.get_or_build(config, layer1)
-    assert cache.hits == 1
-    assert prep1 is cache.get_or_build(config, layer1)
+
+    inner = layer2
+    fps = [inner_fingerprint(config, layer1), inner_fingerprint(config, layer2)]
+    for _k in range(3, 6):
+        prep = build_next_layer_prep(config, inner)
+        d = prep.circuit.ext.D
+        inner = RecursionInput(
+            None,
+            prep.circuit,
+            prep.pdata,
+            app_public_idx=[
+                p * d for p in prep.vcr.app_public_positions
+            ],
+        )
+        fps.append(inner_fingerprint(config, inner))
+        if fps[-1] == fps[-2]:
+            break
+    assert fps[-1] == fps[-2], "no fixed point within 5 layers"
+    assert cache.get_or_build(config, inner) is cache.get_or_build(
+        config, inner
+    )
+    assert cache.hits >= 1
 
 
 def _contains_subsequence(hay, needle):

@@ -8,8 +8,8 @@ from plonky3_recursion_tpu.prover.poseidon2_table import (
 
 # (air factory, (main_width, prep_width)) — update deliberately only.
 GOLDEN = [
-    (lambda: ConstAir(4), (4, 2)),
-    (lambda: ConstAir(1), (1, 2)),
+    (lambda: ConstAir(4), (1, 6)),
+    (lambda: ConstAir(1), (1, 3)),
     (lambda: PublicAir(4, lanes=2), (8, 4)),
     (lambda: AluAir(4, 3), (16, 12)),
     (lambda: AluAir(4, 3, lanes=4), (64, 48)),
