@@ -270,7 +270,9 @@ class CircuitBuilder:
         if not coeffs:
             return self.zero
         rev = list(reversed(coeffs))
-        if self._horner_npo is None:
+        # short chains: a nearly-empty packed row costs more (columns and
+        # bus tuples) than a couple of lane-packed MULADD ALU ops
+        if self._horner_npo is None or len(rev) < 3:
             acc = self.zero
             for c in rev:
                 acc = self.mul_add(acc, x, c)

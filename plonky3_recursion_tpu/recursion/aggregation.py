@@ -56,12 +56,14 @@ def build_aggregation_circuit(
 ) -> AggregationPrep:
     from ..prover.poseidon2_table import koala_bear_poseidon2_npo
 
+    from ..prover.horner_table import koala_bear_horner_npo
     from ..prover.recompose_table import koala_bear_recompose_npo
 
     builder = CircuitBuilder(config.ext)
     npo = koala_bear_poseidon2_npo()
     builder.enable_op(npo)
     builder.enable_recompose(koala_bear_recompose_npo())
+    builder.enable_horner(koala_bear_horner_npo())
     vcrs = []
     for ns, child in (("L", left), ("R", right)):
         d = child.circuit.ext.D

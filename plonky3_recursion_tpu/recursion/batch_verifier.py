@@ -201,12 +201,14 @@ def build_batch_verifier_circuit(
     d = E.D
     if builder is None:
         builder = CircuitBuilder(E)
+        from ..prover.horner_table import koala_bear_horner_npo
         from ..prover.poseidon2_table import koala_bear_poseidon2_npo
         from ..prover.recompose_table import koala_bear_recompose_npo
 
         npo = koala_bear_poseidon2_npo()
         builder.enable_op(npo)
         builder.enable_recompose(koala_bear_recompose_npo())
+        builder.enable_horner(koala_bear_horner_npo())
         npo_type_id = npo.type_id
     b = builder
     al = _Alloc(b)
@@ -533,13 +535,28 @@ def _verify_fri_circuit(config, b, al, ch, mmcs, rounds, P, tag_ns: str = ""):
                 for t in cols:
                     ch.observe_ext(t)
     alpha = ch.sample_ext()
-    # alpha power targets (global column counter)
-    total_cols = sum(
-        len(cols) for _n, _c, mats in rounds for _l, pts in mats for _z, cols in pts
-    )
-    apow = [b.one()]
-    for _ in range(total_cols - 1):
-        apow.append(b.mul(apow[-1], alpha))
+
+    # block-start powers of alpha: each (round, matrix, point) block of w
+    # columns is reduced by ONE Horner chain and scaled by α^k (k = global
+    # column offset).  Only the block-start powers are materialized —
+    # α^w for the distinct widths via square-and-multiply, then a running
+    # product — instead of the full α^0..α^{total_cols-1} chain.
+    _apow_cache: dict[int, int] = {}
+
+    def _alpha_pow(n: int) -> int:
+        t = _apow_cache.get(n)
+        if t is None:
+            if n == 0:
+                t = b.one()
+            elif n == 1:
+                t = alpha
+            else:
+                half = _alpha_pow(n // 2)
+                t = b.mul(half, half)
+                if n % 2:
+                    t = b.mul(t, alpha)
+            _apow_cache[n] = t
+        return t
     # 3. commit phases (variable arity schedule, derived like the prover)
     from ..stark.fri_pcs import fri_phase_schedule
 
@@ -596,16 +613,18 @@ def _verify_fri_circuit(config, b, al, ch, mmcs, rounds, P, tag_ns: str = ""):
         w = al.private(lambda pf: int(pf.fri.pow_witness))
         ch.check_pow_witness(w, P.query_pow_bits)
 
-    # precompute y_red per (round, matrix, point) — shared across queries
+    # precompute y_red per (round, matrix, point) — shared across queries.
+    # y_red = α^k · Σ_c cols[c]·α^c: one packed Horner chain per block plus
+    # a scale by the block-start power (reference HornerAcc usage in
+    # `open_input`, fri/verifier.rs:1068).
     y_reds = []
     k = 0
     for _name, _ct, mats in rounds:
         for log_n, pts in mats:
             for z, cols in pts:
-                acc = b.zero
-                for c, t in enumerate(cols):
-                    acc = b.mul_add(t, apow[k + c], acc)
-                y_reds.append((log_n, z, acc, k, len(cols)))
+                ak = _alpha_pow(k)
+                acc = b.mul(b.horner_eval(alpha, list(cols)), ak)
+                y_reds.append((log_n, z, acc, ak, len(cols)))
                 k += len(cols)
 
     round_log_max = [
@@ -652,14 +671,13 @@ def _verify_fri_circuit(config, b, al, ch, mmcs, rounds, P, tag_ns: str = ""):
                 log_h = log_n + P.log_blowup
                 hbits = bits[log_max - log_h :] if log_h < log_max else bits
                 x = x_from_bits(log_h, int(F.generator), hbits)
+                # one Horner reduction of the opened row, shared by every
+                # opening point of this matrix (the row is z-independent)
+                h_row = b.horner_eval(alpha, list(opened_rows[mi]))
                 for z, _cols in pts:
-                    _ln, _z, y_red, kk, w = y_reds[yi]
+                    _ln, _z, y_red, ak, w = y_reds[yi]
                     yi += 1
-                    p_red = b.zero
-                    for c in range(w):
-                        p_red = b.mul_add(
-                            opened_rows[mi][c], apow[kk + c], p_red
-                        )
+                    p_red = b.mul(h_row, ak)
                     term = b.div(b.sub(p_red, y_red), b.sub(x, z))
                     acc[log_h] = (
                         term
@@ -734,9 +752,7 @@ def _verify_fri_circuit(config, b, al, ch, mmcs, rounds, P, tag_ns: str = ""):
             log_size -= ar
             if log_size in acc:
                 folded = b.add(folded, acc[log_size])
-        # final poly check
+        # final poly check (packed Horner)
         x_fin = x_from_bits(log_size, shift, bits[_off:])
-        expect = b.zero
-        for t in reversed(final_coeffs):
-            expect = b.mul_add(expect, x_fin, t)
+        expect = b.horner_eval(x_fin, final_coeffs)
         b.connect(expect, folded)
