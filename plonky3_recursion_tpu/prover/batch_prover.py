@@ -321,6 +321,8 @@ class BatchStarkProver:
         _bind_instances(ch, proof.batch.shapes)
         if prover_data.common.prep_commitment is not None:
             ch.observe_slice(prover_data.common.prep_commitment)
+        if proof.batch.random_commit is not None:
+            ch.observe_slice(np.asarray(proof.batch.random_commit))
         ch.observe_slice(proof.batch.trace_commit)
         for ps in proof.batch.publics:
             ch.observe_slice(np.asarray(ps, dtype=U32))

@@ -252,6 +252,15 @@ def build_batch_verifier_circuit(
             8, lambda pf, i: int(np.asarray(pf.prep_commitment)[i])
         )
         ch.observe_slice(prep_commit_t)
+    # ZK (hiding) inner proofs: the random masking round's commitment is
+    # observed between prep and trace, mirroring prove_batch
+    zk = config.pcs.hiding_salt_cols > 0
+    random_commit_t = None
+    if zk:
+        random_commit_t = al.private_vec(
+            8, lambda pf, i: int(np.asarray(pf.random_commit)[i])
+        )
+        ch.observe_slice(random_commit_t)
     trace_commit = al.private_vec(
         8, lambda pf, i: int(pf.trace_commit[i])
     )
@@ -462,6 +471,22 @@ def build_batch_verifier_circuit(
             zgs[s.log_n] = b.mul(
                 zeta, b.const(F.two_adic_generator(s.log_n))
             )
+    if zk:
+
+        def rnd_open(pf, c, j):
+            return int(np.asarray(pf.random_opening)[c, j])
+
+        random_opens = []
+        for c in range(2 * d):
+            coeffs = al.private_vec(d, _bind(rnd_open, c))
+            random_opens.append(b.recompose_base_coeffs_to_ext(coeffs))
+        rounds.append(
+            (
+                "random",
+                random_commit_t,
+                [(max(s.log_n for s in shapes), [(zeta, random_opens)])],
+            )
+        )
     trace_mats = []
     for ii, s in enumerate(shapes):
         trace_mats.append(
@@ -664,6 +689,17 @@ def _verify_fri_circuit(config, b, al, ch, mmcs, rounds, P, tag_ns: str = ""):
                 row = al.private_vec(w, _bind(open_row, q, ri, mi))
                 opened_rows.append(row)
                 dims.append((1 << (log_n + P.log_blowup), w))
+            # hiding commitments: salt rows are hashed into the Merkle
+            # leaves (and so must enter the in-circuit path check) but are
+            # NOT polynomial data — they never join the α-reduction
+            for si, (sh, sw) in enumerate(
+                config.pcs.salt_dims([h for h, _w in dims])
+            ):
+                row = al.private_vec(
+                    sw, _bind(open_row, q, ri, len(mats) + si)
+                )
+                opened_rows.append(row)
+                dims.append((sh, sw))
             tag = ("mmcsp", tag_ns, q, ri)
             al.npo_specs.append(("in", tag, q, ri, log_max, rlm))
             mmcs.verify_batch(commit_t, dims, rbits, opened_rows, tag)

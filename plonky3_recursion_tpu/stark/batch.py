@@ -95,6 +95,10 @@ class BatchProof:
     # proof so recursion extractors can feed it as a PUBLIC input of the
     # outer circuit without baking the value into the circuit structure.
     prep_commitment: np.ndarray | None = None
+    # ZK (hiding) proofs: the random masking round's commitment and its
+    # claimed opening at ζ (reference HidingFriPcs random polynomial)
+    random_commit: np.ndarray | None = None
+    random_opening: np.ndarray | None = None  # (2·D, D)
 
 
 def _instance_builder(inst: StarkInstance, challenge_idx: dict[str, int]):
@@ -170,6 +174,17 @@ def prove_batch(
     _bind_instances(ch, shapes)
     if common.prep_commitment is not None:
         ch.observe_slice(common.prep_commitment)
+    # ZK: random masking round (reference HidingFriPcs random polynomial,
+    # SURVEY.md §2.4 round order random/trace/quotient/prep/perm).  A
+    # uniformly random committed matrix joins the FRI batch with its own
+    # α-weights, masking the revealed reduced-opening combinations; the
+    # salted MMCS (hiding_salt_cols on the pcs) hides the leaf rows.
+    random_data = None
+    if pcs.hiding_salt_cols:
+        max_ln = max(s.log_n for s in shapes)
+        rmat = F.rand(pcs.salt_rng, (1 << max_ln, 2 * E.D))
+        random_data = pcs.commit([(1, rmat)], xp)
+        ch.observe_slice(random_data.commitment)
     from ..utils.tracing import span
 
     with span("commit_traces"):
@@ -316,7 +331,10 @@ def prove_batch(
     def zg(log_n):
         return E.mul_base(zeta, np.uint32(F.two_adic_generator(log_n)), np)
 
-    rounds = [(trace_data, [[zeta, zg(s.log_n)] for s in shapes])]
+    rounds = []
+    if random_data is not None:
+        rounds.append((random_data, [[zeta]]))
+    rounds.append((trace_data, [[zeta, zg(s.log_n)] for s in shapes]))
     if common.prep_data is not None:
         rounds.append(
             (
@@ -335,8 +353,14 @@ def prove_batch(
     with span("pcs_open"):
         opened, fri_proof = pcs.open(rounds, ch, xp)
     ri = 0
-    trace_openings = [(opened[0][i][0], opened[0][i][1]) for i in range(len(instances))]
-    ri = 1
+    random_opening = None
+    if random_data is not None:
+        random_opening = opened[0][0][0]
+        ri = 1
+    trace_openings = [
+        (opened[ri][i][0], opened[ri][i][1]) for i in range(len(instances))
+    ]
+    ri += 1
     prep_openings = []
     if common.prep_data is not None:
         for k, (i, _ln, _w) in enumerate(common.prep_shapes):
@@ -366,6 +390,12 @@ def prove_batch(
             None
             if common.prep_commitment is None
             else np.asarray(common.prep_commitment, dtype=U32)
+        ),
+        random_commit=(
+            np.asarray(random_data.commitment) if random_data else None
+        ),
+        random_opening=(
+            np.asarray(random_opening) if random_opening is not None else None
         ),
     )
 
@@ -415,11 +445,18 @@ def verify_batch(
             raise ValueError("quotient degree mismatch")
         if num_perm_cols(lks) != s.num_perm_cols:
             raise ValueError("perm width mismatch")
+    zk = pcs.hiding_salt_cols > 0
+    if zk != (proof.random_commit is not None) or zk != (
+        proof.random_opening is not None
+    ):
+        raise ValueError("proof hiding mode does not match config")
     ch = config.challenger()
     _bind_instances(ch, shapes)
     prep_commitment = common.prep_commitment if common else None
     if prep_commitment is not None:
         ch.observe_slice(prep_commitment)
+    if zk:
+        ch.observe_slice(proof.random_commit)
     ch.observe_slice(proof.trace_commit)
     for pubs in proof.publics:
         ch.observe_slice(np.asarray(pubs, dtype=U32))
@@ -489,7 +526,20 @@ def verify_batch(
     def zg(log_n):
         return E.mul_base(zeta, np.uint32(F.two_adic_generator(log_n)), np)
 
-    rounds_v = [
+    rounds_v = []
+    if zk:
+        rounds_v.append(
+            (
+                proof.random_commit,
+                [
+                    (
+                        max(s.log_n for s in shapes),
+                        [(zeta, np.asarray(proof.random_opening))],
+                    )
+                ],
+            )
+        )
+    rounds_v.append(
         (
             proof.trace_commit,
             [
@@ -503,7 +553,7 @@ def verify_batch(
                 for i, s in enumerate(shapes)
             ],
         )
-    ]
+    )
     if prep_commitment is not None:
         rounds_v.append(
             (

@@ -286,7 +286,7 @@ class TwoAdicFriPcs:
         Returns (opened_values, FriProof) where
         opened_values[round][mat][point] = (w, D) canonical.
         """
-        if self.use_jit:
+        if self.use_jit and not self.hiding_salt_cols:
             return self._open_jit(rounds, challenger)
         F, E, P = self.F, self.E, self.params
         # 1. claimed evaluations, observed in canonical order

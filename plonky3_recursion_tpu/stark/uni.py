@@ -50,8 +50,11 @@ class StarkConfig:
 
 
 def koala_bear_config(
-    params: FriParams | None = None, use_jit: bool = False
+    params: FriParams | None = None, use_jit: bool = False, zk: bool = False
 ) -> StarkConfig:
+    """zk=True enables hiding proofs (reference `HidingFriPcs`,
+    SURVEY.md §2.6): salted Merkle commitments plus a random masking
+    round in the FRI batch (`prove_batch`)."""
     from ..fields import KOALA_BEAR, ext_field
 
     E = ext_field(KOALA_BEAR, 4)
@@ -59,13 +62,17 @@ def koala_bear_config(
         KOALA_BEAR,
         E,
         TwoAdicFriPcs(
-            KOALA_BEAR, E, params or FriParams.testing(), use_jit=use_jit
+            KOALA_BEAR,
+            E,
+            params or FriParams.testing(),
+            use_jit=use_jit,
+            hiding_salt_cols=2 * E.D if zk else 0,
         ),
     )
 
 
 def baby_bear_config(
-    params: FriParams | None = None, use_jit: bool = False
+    params: FriParams | None = None, use_jit: bool = False, zk: bool = False
 ) -> StarkConfig:
     from ..fields import BABY_BEAR, ext_field
 
@@ -74,7 +81,11 @@ def baby_bear_config(
         BABY_BEAR,
         E,
         TwoAdicFriPcs(
-            BABY_BEAR, E, params or FriParams.testing(), use_jit=use_jit
+            BABY_BEAR,
+            E,
+            params or FriParams.testing(),
+            use_jit=use_jit,
+            hiding_salt_cols=2 * E.D if zk else 0,
         ),
     )
 

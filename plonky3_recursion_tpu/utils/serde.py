@@ -127,14 +127,20 @@ def batch_proof_to_bytes(proof: BatchProof) -> bytes:
         None
         if proof.prep_commitment is None
         else np.asarray(proof.prep_commitment),
+        None
+        if proof.random_commit is None
+        else np.asarray(proof.random_commit),
+        None
+        if proof.random_opening is None
+        else np.asarray(proof.random_opening),
     ]
-    out = bytearray(b"P3TB\x02")
+    out = bytearray(b"P3TB\x03")
     _pack(tree, out)
     return bytes(out)
 
 
 def batch_proof_from_bytes(data: bytes) -> BatchProof:
-    assert data[:5] == b"P3TB\x02", "bad proof magic/version"
+    assert data[:5] == b"P3TB\x03", "bad proof magic/version"
     tree, _pos = _unpack(memoryview(data), 5)
     (
         shapes_t,
@@ -149,6 +155,8 @@ def batch_proof_from_bytes(data: bytes) -> BatchProof:
         publics,
         fri_t,
         prep_commitment,
+        random_commit,
+        random_opening,
     ) = tree
     shapes = [InstanceShape(*s) for s in shapes_t]
     fri = FriProof(
@@ -177,6 +185,8 @@ def batch_proof_from_bytes(data: bytes) -> BatchProof:
         publics=publics,
         fri=fri,
         prep_commitment=prep_commitment,
+        random_commit=random_commit,
+        random_opening=random_opening,
     )
     validate_batch_proof(proof)
     return proof
@@ -232,6 +242,13 @@ def validate_batch_proof(proof: BatchProof, config=None):
         commits.append(proof.perm_commit)
     if proof.prep_commitment is not None:
         commits.append(proof.prep_commitment)
+    if (proof.random_commit is None) != (proof.random_opening is None):
+        raise ValueError("random round commitment/opening must come together")
+    if proof.random_commit is not None:
+        commits.append(proof.random_commit)
+        ro = np.asarray(proof.random_opening)
+        if ro.shape != (2 * d, d):
+            raise ValueError(f"random opening shape {ro.shape}")
     for arr in commits:
         if np.asarray(arr).shape != (8,):
             raise ValueError("bad commitment shape")
