@@ -183,7 +183,11 @@ class HornerNpo:
 
 
 @functools.lru_cache(maxsize=None)
-def koala_bear_horner_npo(k: int = 8) -> HornerNpo:
-    from ..fields import KOALA_BEAR
+def horner_npo_for(field_name: str, k: int = 8) -> HornerNpo:
+    from ..fields import FIELDS
 
-    return HornerNpo(KOALA_BEAR, 4, k=k)
+    return HornerNpo(FIELDS[field_name], 4, k=k)
+
+
+def koala_bear_horner_npo(k: int = 8) -> HornerNpo:
+    return horner_npo_for("koala_bear", k)

@@ -52,9 +52,17 @@ from .airs import BUS
 WIDTH = 16
 WIDTH_EXT = 4
 RATE_EXT = 2
-COL_B = 2 * WIDTH  # merkle direction bit (value column)
-COL_S = 2 * WIDTH + 1  # mmcs index accumulator (value column)
-MAIN_WIDTH = 2 * WIDTH + 2  # state | sbox | B | S
+# main layout: state(16) | sbox register blocks (16 each) | B | S.
+# KoalaBear's cubic S-box needs ONE register block (sb = t³); BabyBear's
+# x⁷ splits across TWO (sb1 = t³, sb = sb1²·t — both degree ≤ 3), the
+# reference's SBOX_REGISTERS decomposition
+# (`poseidon2-circuit-air/src/public_types.rs`).
+def _sbox_registers(deg: int) -> int:
+    if deg == 3:
+        return 1
+    if deg == 7:
+        return 2
+    raise ValueError(f"unsupported S-box degree {deg}")
 
 # preprocessed layout.  The four limb CTL column pairs are DUAL-USE: on a
 # block's row 0 they receive the CTL'd input limbs, on its last row they
@@ -99,19 +107,18 @@ def _ext_layer_exprs(state):
 
 
 class Poseidon2TableAir(Air):
-    width_main = MAIN_WIDTH
     width_prep = PREP_WIDTH
     num_publics = 0
 
     def __init__(self, params: Poseidon2Params, d: int):
-        assert params.field.sbox_degree == 3, (
-            "row-per-round AIR requires a cubic S-box (KoalaBear); "
-            "BabyBear needs a register-split S-box table (future work)"
-        )
         assert params.width == WIDTH
         assert WIDTH_EXT * d == WIDTH
         self.params = params
         self.d = d
+        self.n_sbox = _sbox_registers(params.field.sbox_degree)
+        self.col_b = (1 + self.n_sbox) * WIDTH
+        self.col_s = self.col_b + 1
+        self.width_main = self.col_s + 1
 
     def cache_key(self):
         return (type(self).__name__, self.params.field.name, self.d, "v2")
@@ -119,20 +126,28 @@ class Poseidon2TableAir(Air):
     def eval(self, b):
         d = self.d
         cur = b.main_local[:WIDTH]
-        sb = b.main_local[WIDTH : 2 * WIDTH]
+        sb = b.main_local[self.n_sbox * WIDTH : (1 + self.n_sbox) * WIDTH]
         nxt = b.main_next[:WIDTH]
-        bit = b.main_local[COL_B]
-        nxt_bit = b.main_next[COL_B]
-        s_acc = b.main_local[COL_S]
-        nxt_s = b.main_next[COL_S]
+        bit = b.main_local[self.col_b]
+        nxt_bit = b.main_next[self.col_b]
+        s_acc = b.main_local[self.col_s]
+        nxt_s = b.main_next[self.col_s]
         rc = [Var("preprocessed", P_RC + j, 0) for j in range(WIDTH)]
         sel_me = Var("preprocessed", P_SEL_ME, 0)
         sel_ext = Var("preprocessed", P_SEL_EXT, 0)
         sel_int = Var("preprocessed", P_SEL_INT, 0)
         # --- permutation round structure (as in round 1) ---
-        for j in range(WIDTH):
-            t = cur[j] + rc[j]
-            b.assert_zero(sb[j] - t * t * t)
+        if self.n_sbox == 1:
+            for j in range(WIDTH):
+                t = cur[j] + rc[j]
+                b.assert_zero(sb[j] - t * t * t)
+        else:
+            # x⁷ register split: sb1 = t³ then sb = sb1²·t (degree ≤ 3)
+            sb1 = b.main_local[WIDTH : 2 * WIDTH]
+            for j in range(WIDTH):
+                t = cur[j] + rc[j]
+                b.assert_zero(sb1[j] - t * t * t)
+                b.assert_zero(sb[j] - sb1[j] * sb1[j] * t)
         me_cur = _ext_layer_exprs(cur)
         me_sb = _ext_layer_exprs(sb)
         lanes = [sb[0]] + list(cur[1:])
@@ -195,7 +210,7 @@ class Poseidon2TableAir(Air):
             )
         inters.append(
             Interaction(
-                [Var("preprocessed", P_SUM_IDX, 0), Var("main", COL_S, 0)]
+                [Var("preprocessed", P_SUM_IDX, 0), Var("main", self.col_s, 0)]
                 + [0] * (d - 1),
                 Var("preprocessed", P_SUM_MULT, 0),
             )
@@ -346,8 +361,11 @@ class Poseidon2Npo:
         from .batch_prover import _pad_pow2
 
         F = self.params.field
+        n_sbox = _sbox_registers(F.sbox_degree)
         if not records:
-            return np.zeros((min_height, MAIN_WIDTH), dtype=U32)
+            return np.zeros(
+                (min_height, (1 + n_sbox) * WIDTH + 2), dtype=U32
+            )
         ordered = chain_order(calls)
         rec_by_op = {c.op_id: r for c, r in zip(calls, records)}
         recs = [rec_by_op[c.op_id] for c in ordered]
@@ -358,16 +376,32 @@ class Poseidon2Npo:
         flat = rows.reshape(n_perms * rpp, w)
         rc = np.tile(self._rc_block(), (n_perms, 1))
         t = F.add(flat, rc, np)
-        sbox = F.mul(F.mul(t, t, np), t, np)
+        cube = F.mul(F.mul(t, t, np), t, np)
+        if n_sbox == 1:
+            sbox_blocks = [cube]
+        else:
+            sbox_blocks = [cube, F.mul(F.mul(cube, cube, np), t, np)]
         extra = np.zeros((n_perms * rpp, 2), dtype=U32)
         for i, r in enumerate(recs):
             extra[i * rpp, 0] = r[1]  # B on block row 0
             extra[i * rpp : (i + 1) * rpp, 1] = r[2] % F.P  # S full block
-        return _pad_pow2(np.concatenate([flat, sbox, extra], axis=1), min_height)
+        return _pad_pow2(
+            np.concatenate([flat] + sbox_blocks + [extra], axis=1), min_height
+        )
 
 
 @functools.lru_cache(maxsize=None)
-def koala_bear_poseidon2_npo() -> Poseidon2Npo:
-    from ..fields import KOALA_BEAR
+def poseidon2_npo_for(field_name: str) -> Poseidon2Npo:
+    """Per-field W16/D4 NPO (reference preset family, `public_types.rs`)."""
+    from ..fields import BABY_BEAR, KOALA_BEAR
 
-    return Poseidon2Npo(poseidon2_params(KOALA_BEAR, WIDTH), d=4)
+    field = {"koala_bear": KOALA_BEAR, "baby_bear": BABY_BEAR}[field_name]
+    return Poseidon2Npo(poseidon2_params(field, WIDTH), d=4)
+
+
+def koala_bear_poseidon2_npo() -> Poseidon2Npo:
+    return poseidon2_npo_for("koala_bear")
+
+
+def baby_bear_poseidon2_npo() -> Poseidon2Npo:
+    return poseidon2_npo_for("baby_bear")

@@ -130,7 +130,11 @@ class RecomposeNpo:
 
 
 @functools.lru_cache(maxsize=None)
-def koala_bear_recompose_npo(lanes: int = 4) -> RecomposeNpo:
-    from ..fields import KOALA_BEAR
+def recompose_npo_for(field_name: str, lanes: int = 4) -> RecomposeNpo:
+    from ..fields import FIELDS
 
-    return RecomposeNpo(KOALA_BEAR, 4, lanes=lanes)
+    return RecomposeNpo(FIELDS[field_name], 4, lanes=lanes)
+
+
+def koala_bear_recompose_npo(lanes: int = 4) -> RecomposeNpo:
+    return recompose_npo_for("koala_bear", lanes)

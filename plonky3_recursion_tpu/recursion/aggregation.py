@@ -54,16 +54,15 @@ class AggregationPrep:
 def build_aggregation_circuit(
     config: StarkConfig, left: RecursionInput, right: RecursionInput
 ) -> AggregationPrep:
-    from ..prover.poseidon2_table import koala_bear_poseidon2_npo
-
-    from ..prover.horner_table import koala_bear_horner_npo
-    from ..prover.recompose_table import koala_bear_recompose_npo
+    from ..prover.horner_table import horner_npo_for
+    from ..prover.poseidon2_table import poseidon2_npo_for
+    from ..prover.recompose_table import recompose_npo_for
 
     builder = CircuitBuilder(config.ext)
-    npo = koala_bear_poseidon2_npo()
+    npo = poseidon2_npo_for(config.field.name)
     builder.enable_op(npo)
-    builder.enable_recompose(koala_bear_recompose_npo())
-    builder.enable_horner(koala_bear_horner_npo())
+    builder.enable_recompose(recompose_npo_for(config.field.name))
+    builder.enable_horner(horner_npo_for(config.field.name))
     vcrs = []
     for ns, child in (("L", left), ("R", right)):
         d = child.circuit.ext.D

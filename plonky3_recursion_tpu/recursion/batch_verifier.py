@@ -201,14 +201,14 @@ def build_batch_verifier_circuit(
     d = E.D
     if builder is None:
         builder = CircuitBuilder(E)
-        from ..prover.horner_table import koala_bear_horner_npo
-        from ..prover.poseidon2_table import koala_bear_poseidon2_npo
-        from ..prover.recompose_table import koala_bear_recompose_npo
+        from ..prover.horner_table import horner_npo_for
+        from ..prover.poseidon2_table import poseidon2_npo_for
+        from ..prover.recompose_table import recompose_npo_for
 
-        npo = koala_bear_poseidon2_npo()
+        npo = poseidon2_npo_for(F.name)
         builder.enable_op(npo)
-        builder.enable_recompose(koala_bear_recompose_npo())
-        builder.enable_horner(koala_bear_horner_npo())
+        builder.enable_recompose(recompose_npo_for(F.name))
+        builder.enable_horner(horner_npo_for(F.name))
         npo_type_id = npo.type_id
     b = builder
     al = _Alloc(b)

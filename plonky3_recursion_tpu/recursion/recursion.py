@@ -51,6 +51,13 @@ class RecursionInput:
     circuit: Circuit
     prover_data: CircuitProverData
     app_public_idx: list | None = None
+    # the StarkConfig the proof was produced under, when it differs from
+    # the config proving the NEXT layer (cross-config recursion/aggregation,
+    # reference `prove_aggregation_layer_cross`, `recursion.rs:772-899`).
+    # None = same config up the chain.  Cross-config is same-field only:
+    # the in-circuit transcript replay runs on the outer circuit's
+    # permutation table, which must equal the inner challenger's.
+    config: StarkConfig | None = None
 
 
 @dataclasses.dataclass
@@ -117,22 +124,34 @@ def _terminal_checks(circuit: Circuit, pdata) -> list:
 def build_next_layer_circuit(
     config: StarkConfig, inner: RecursionInput | tuple
 ) -> tuple[Circuit, VerifierCircuitResult]:
-    """Build the circuit verifying proofs shaped like `inner`'s."""
+    """Build the circuit verifying proofs shaped like `inner`'s.
+
+    Cross-config: when `inner.config` is set, the in-circuit replay runs
+    under the INNER config (its FRI params / hiding mode) while the layer
+    itself is proven under `config` — FRI-parameter switching up the chain
+    (reference `recursion.rs:772-899`).  Same field/extension only."""
     if isinstance(inner, RecursionInput):
         inner_circuit, inner_pdata = inner.circuit, inner.prover_data
         app_idx = inner.app_public_idx
+        inner_cfg = inner.config or config
     else:
         inner_circuit, inner_pdata = inner
         app_idx = None
+        inner_cfg = config
+    if inner_cfg is not config:
+        assert (
+            inner_cfg.field.name == config.field.name
+            and inner_cfg.ext.D == config.ext.D
+        ), "cross-config recursion requires matching field/extension"
     d = inner_circuit.ext.D
     if app_idx is None:
         # base case: coefficient 0 of every inner public input
         app_idx = [k * d for k in range(len(inner_circuit.public_rows))]
-    airs = _airs(config, inner_circuit, inner_pdata.packing)
+    airs = _airs(inner_cfg, inner_circuit, inner_pdata.packing)
     airs_lookups = [(a, a.lookups()) for a in airs]
-    shapes = compute_shapes(config, inner_circuit, inner_pdata)
+    shapes = compute_shapes(inner_cfg, inner_circuit, inner_pdata)
     vcr = build_batch_verifier_circuit(
-        config,
+        inner_cfg,
         airs_lookups,
         shapes,
         inner_pdata.common,
@@ -195,7 +214,9 @@ def inner_fingerprint(config: StarkConfig, inner: RecursionInput) -> tuple:
             else [k * d for k in range(len(inner_circuit.public_rows))]
         )
     )
-    return (shapes, has_prep, tc, packing, app)
+    cfg = inner.config or config
+    cfg_key = (cfg.field.name, repr(cfg.pcs.params), cfg.pcs.hiding_salt_cols)
+    return (shapes, has_prep, tc, packing, app, cfg_key)
 
 
 class NextLayerPrepCache:

@@ -35,9 +35,9 @@ def build_uni_verifier_circuit(
     d = E.D
     if builder is None:
         builder = CircuitBuilder(E)
-        from ..prover.poseidon2_table import koala_bear_poseidon2_npo
+        from ..prover.poseidon2_table import poseidon2_npo_for
 
-        npo = koala_bear_poseidon2_npo()
+        npo = poseidon2_npo_for(F.name)
         builder.enable_op(npo)
         npo_type_id = npo.type_id
     b = builder
