@@ -28,6 +28,7 @@ def build_uni_verifier_circuit(
     log_n: int,
     builder: CircuitBuilder | None = None,
     npo_type_id: str | None = None,
+    tag_ns: str = "",
 ) -> VerifierCircuitResult:
     F, E = config.field, config.ext
     P = config.pcs.params
@@ -55,9 +56,11 @@ def build_uni_verifier_circuit(
     ch.observe(b.const(log_n))
     trace_commit = al.public_vec(8, lambda pf, i: int(pf.trace_commit[i]))
     ch.observe_slice(trace_commit)
+    app_pos_base = len(al.pub)
     publics = al.public_vec(
         air.num_publics, lambda pf, i: int(pf.publics[i])
     )
+    app_positions = list(range(app_pos_base, len(al.pub)))
     ch.observe_slice(publics)
     alpha = ch.sample_ext()
     quotient_commit = al.public_vec(
@@ -142,7 +145,7 @@ def build_uni_verifier_circuit(
             [(log_n, [(zeta, q_opens[ci])]) for ci in range(qdeg)],
         ),
     ]
-    _verify_fri_circuit(config, b, al, ch, mmcs, rounds, P)
+    _verify_fri_circuit(config, b, al, ch, mmcs, rounds, P, tag_ns=tag_ns)
     return VerifierCircuitResult(
         b,
         al.pub,
@@ -151,6 +154,7 @@ def build_uni_verifier_circuit(
         record=ch.record,
         src=al.src,
         npo_specs=al.npo_specs,
+        app_public_positions=app_positions,
     )
 
 
