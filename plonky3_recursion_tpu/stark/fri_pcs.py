@@ -155,13 +155,21 @@ class TwoAdicFriPcs:
         use_jit: bool = False,
         hiding_salt_cols: int = 0,
         salt_rng: np.random.Generator | None = None,
+        mesh=None,
+        mesh_axis: str = "rows",
     ):
         """hiding_salt_cols > 0 enables salted (hiding) commitments: every
         distinct LDE height in a commit gets a random salt matrix hashed
         into the same Merkle leaves (reference `MerkleTreeHidingMmcs` /
         `HidingFriPcs` salts; SURVEY.md §2.6).  Salt rows travel in query
         openings but never enter the α-reduction (they are not polynomial
-        data)."""
+        data).
+
+        mesh: a `jax.sharding.Mesh` — commit rounds (interpolation + LDE +
+        Merkle) and FRI folds run as jitted GSPMD programs with rows
+        sharded over the mesh axis (XLA inserts the NTT all_to_alls and
+        Merkle all_gathers; `parallel/mesh.py`).  The sequential
+        Fiat–Shamir transcript stays on host 0 between device calls."""
         self.F = field
         self.E = ext
         self.params = params
@@ -169,6 +177,11 @@ class TwoAdicFriPcs:
         self.mmcs = mmcs or MerkleMmcs(field, use_jit=use_jit)
         self.hiding_salt_cols = hiding_salt_cols
         self.salt_rng = salt_rng or np.random.default_rng()
+        self.mesh = mesh
+        self.mesh_axis = mesh_axis
+        assert mesh is None or not hiding_salt_cols, (
+            "mesh-sharded hiding commitments not wired yet"
+        )
 
     # ----- commit -----
 
@@ -177,6 +190,27 @@ class TwoAdicFriPcs:
         F = self.F
         committed = []
         ldes = []
+        if self.mesh is not None:
+            from ..parallel.mesh import mesh_round_commit_fn
+
+            sig = tuple(
+                (int(shift), evals.shape[0].bit_length() - 1, evals.shape[1])
+                for shift, evals in mats
+            )
+            fn = mesh_round_commit_fn(
+                F, sig, self.params.log_blowup, self.mesh, self.mesh_axis
+            )
+            with self.mesh:
+                coeffs_t, ldes_t, layers_t = fn(*[e for _s, e in mats])
+            for (shift, log_n, w), coeffs in zip(sig, coeffs_t):
+                committed.append(
+                    CommittedMatrix(shift, log_n, w, np.asarray(coeffs))
+                )
+            layers = [np.asarray(l) for l in layers_t]
+            tree = MerkleTree(
+                matrices=[np.asarray(l) for l in ldes_t], layers=layers
+            )
+            return PcsProverData(committed, tree, np.asarray(layers[-1][0]))
         if self.use_jit and not self.hiding_salt_cols:
             from ..ops.jitk import round_commit_fn
 
@@ -446,6 +480,16 @@ class TwoAdicFriPcs:
     def _fold_once(self, folded, beta, log_size: int, shift: int, xp):
         """One radix-2 β-fold of an ext codeword in bitrev order."""
         F, E = self.F, self.E
+        if self.mesh is not None:
+            import jax.numpy as jnp
+
+            from ..parallel.mesh import mesh_fold_fn
+
+            fn = mesh_fold_fn(
+                F, E.D, log_size, int(shift), self.mesh, self.mesh_axis
+            )
+            with self.mesh:
+                return fn(jnp.asarray(folded), np.asarray(beta, dtype=U32))
         if self.use_jit:
             from ..ops.jitk import fri_fold_fn
 
