@@ -154,10 +154,67 @@ def compile_circuit(builder) -> Circuit:
     for a, b in builder.connects:
         dsu.union(a, b)
 
-    # witness ids per class, in order of class-root first appearance
-    wid_of_root: dict[int, int] = {}
-    wid_of_node: list[int] = [0] * n_nodes
+    # ----- MulAdd fusion (reference optimizer pass, 3-phase a·b+c
+    # detection, `circuit/src/builder/compiler/optimizer/fuse_mul_add.rs`):
+    # an ADD node fed by a MUL node whose class is used NOWHERE else
+    # lowers as one MULADD row; the MUL's witness class is never
+    # allocated.  Runs pre-wid-assignment so no dead slots exist.
+    ARITH = (ADD, SUB, MUL, DIV, MULADD)
+    class_nodes: dict[int, list[int]] = {}
     for eid in range(n_nodes):
+        class_nodes.setdefault(dsu.find(eid), []).append(eid)
+    root_uses: dict[int, int] = {}
+    add_operand_use: dict[int, tuple] = {}  # mul root -> (add eid, other op)
+
+    def _ruse(e):
+        r = dsu.find(e)
+        root_uses[r] = root_uses.get(r, 0) + 1
+
+    for eid, node in enumerate(g.nodes):
+        if node.kind in ARITH:
+            for o in node.operands:
+                _ruse(o)
+        elif node.kind == BOOL:
+            _ruse(node.operands[0])
+    for h in builder.hints:
+        for e in h.inputs + h.outputs:
+            _ruse(e)
+    for c in builder.npos:
+        for e in list(c.inputs) + list(c.outputs) + [c.sum_out]:
+            if e is not None:
+                _ruse(e)
+    for e in builder.tags.values():
+        _ruse(e)
+    for eid, node in enumerate(g.nodes):
+        if node.kind == ADD:
+            for pos, o in enumerate(node.operands):
+                add_operand_use.setdefault(dsu.find(o), []).append(
+                    (eid, node.operands[1 - pos])
+                )
+    dead_mul: set[int] = set()  # MUL eids lowered into their consumer
+    fused_add: dict[int, tuple] = {}  # ADD eid -> (mul eid, other operand)
+    for eid, node in enumerate(g.nodes):
+        if node.kind != MUL:
+            continue
+        r = dsu.find(eid)
+        if len(class_nodes[r]) != 1 or root_uses.get(r, 0) != 1:
+            continue
+        consumers = add_operand_use.get(r, [])
+        if len(consumers) != 1:
+            continue
+        add_eid, other = consumers[0]
+        if add_eid in fused_add:
+            continue  # both operands of one ADD are single-use MULs
+        dead_mul.add(eid)
+        fused_add[add_eid] = (eid, other)
+
+    # witness ids per class, in order of class-root first appearance
+    # (fused-away MUL classes get no witness slot)
+    wid_of_root: dict[int, int] = {}
+    wid_of_node: list[int] = [-1] * n_nodes
+    for eid in range(n_nodes):
+        if eid in dead_mul:
+            continue
         root = dsu.find(eid)
         if root not in wid_of_root:
             wid_of_root[root] = len(wid_of_root)
@@ -168,6 +225,8 @@ def compile_circuit(builder) -> Circuit:
     PRI = {CONST: 0, PUBLIC: 1, NPO_OUT: 2, ADD: 3, SUB: 3, MUL: 3, DIV: 3, MULADD: 3, PRIVATE: 4, BOOL: 5}
     creator_node: dict[int, int] = {}
     for eid, node in enumerate(g.nodes):
+        if eid in dead_mul:
+            continue
         w = wid_of_node[eid]
         cur = creator_node.get(w)
         if cur is None or (PRI[node.kind], eid) < (PRI[g.nodes[cur].kind], cur):
@@ -188,6 +247,8 @@ def compile_circuit(builder) -> Circuit:
     private_rows: dict[int, int] = {}  # private index -> wid
     alu_rows: list[AluRow] = []
     for eid, node in enumerate(g.nodes):
+        if eid in dead_mul:
+            continue
         w = wid_of_node[eid]
         is_creator = creator_node[w] == eid
         k = node.kind
@@ -199,6 +260,19 @@ def compile_circuit(builder) -> Circuit:
             public_rows[node.meta] = w
         elif k == PRIVATE:
             private_rows[node.meta] = w
+        elif k == ADD and eid in fused_add:
+            m_eid, other = fused_add[eid]
+            m = g.nodes[m_eid]
+            row = AluRow(
+                K_MULADD,
+                wid_of_node[m.operands[0]],
+                wid_of_node[m.operands[1]],
+                wid_of_node[other],
+                w,
+                SOLVE_OUT if is_creator else SOLVE_CHECK,
+                node=eid,
+            )
+            alu_rows.append(row)
         elif k in (ADD, MUL, MULADD):
             ops = [wid_of_node[o] for o in node.operands]
             kind = {ADD: K_ADD, MUL: K_MUL, MULADD: K_MULADD}[k]

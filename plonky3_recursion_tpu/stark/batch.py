@@ -201,8 +201,12 @@ def prove_batch(
         b2 = ch.sample_ext(E)
         challenges[nm] = (a, b2)
     # permutation columns
+    from ..utils.tracing import span as _span
+
     perm_mats = []  # (inst_idx, (n, C, D))
     terminals = []
+    _perm_span = _span("perm_cols")
+    _perm_span.__enter__()
     for i, inst in enumerate(instances):
         if not inst.lookups:
             continue
@@ -235,13 +239,15 @@ def prove_batch(
             )
             perm_mats.append((i, np.asarray(perm)))
         terminals.append((i, np.asarray(term)))
+    _perm_span.__exit__(None, None, None)
     if debug_lookups and terminals:
         check_lookups_balance([t for _i, t in terminals], E)
     perm_data = None
     if perm_mats:
-        perm_data = pcs.commit(
-            [(1, flatten_ext_matrix(pm)) for _i, pm in perm_mats], xp
-        )
+        with _span("commit_perm"):
+            perm_data = pcs.commit(
+                [(1, flatten_ext_matrix(pm)) for _i, pm in perm_mats], xp
+            )
         ch.observe_slice(perm_data.commitment)
         for _i, t in terminals:
             ch.observe_slice(np.asarray(t))
@@ -249,6 +255,8 @@ def prove_batch(
     # quotient per instance
     chunk_mats = []
     chunk_meta = []  # (inst_idx, chunk_idx)
+    _q_span = _span("quotient_eval")
+    _q_span.__enter__()
     for i, (inst, b, s) in enumerate(zip(instances, builders, shapes)):
         lq = s.log_quotient_degree
         n = 1 << s.log_n
@@ -323,6 +331,7 @@ def prove_batch(
             shift = F.generator * pow(wq, ci, F.P) % F.P
             chunk_mats.append((shift, q[ci::qdeg]))
             chunk_meta.append((i, ci))
+    _q_span.__exit__(None, None, None)
     with span("commit_quotient"):
         q_data = pcs.commit(chunk_mats, xp)
     ch.observe_slice(q_data.commitment)

@@ -519,17 +519,19 @@ class TwoAdicFriPcs:
         import jax.numpy as jnp
 
         from ..ops.jitk import fri_fold_fn, fri_reduce_fn, gather_rows_fn
+        from ..utils.tracing import span
 
         F, E, P = self.F, self.E, self.params
         # 1. claimed evaluations (device eval, tiny downloads), observed
         opened = []
-        for data, points in rounds:
-            round_vals = []
-            for mat, pts in zip(data.matrices, points):
-                round_vals.append(
-                    [np.asarray(self.eval_at_point(mat, z)) for z in pts]
-                )
-            opened.append(round_vals)
+        with span("open.eval_at_points"):
+            for data, points in rounds:
+                round_vals = []
+                for mat, pts in zip(data.matrices, points):
+                    round_vals.append(
+                        [np.asarray(self.eval_at_point(mat, z)) for z in pts]
+                    )
+                opened.append(round_vals)
         for rv in opened:
             for mv in rv:
                 for pv in mv:
@@ -544,28 +546,29 @@ class TwoAdicFriPcs:
         # 3. per-height reduced openings, accumulated on device
         acc: dict[int, object] = {}
         k = 0
-        for (data, points), round_vals in zip(rounds, opened):
-            for mi, (mat, pts, mat_vals) in enumerate(
-                zip(data.matrices, points, round_vals)
-            ):
-                log_h = mat.log_n + P.log_blowup
-                lde = data.tree.matrices[mi]  # device-resident
-                for z, y in zip(pts, mat_vals):
-                    apow = alpha_pows[k : k + mat.width]
-                    y_red = _reduce_vec_ext(F, E, np.asarray(y), apow)
-                    fn = fri_reduce_fn(F, E.D, log_h, mat.width)
-                    term = fn(
-                        lde,
-                        np.asarray(z, dtype=U32),
-                        np.asarray(y_red, dtype=U32),
-                        np.asarray(apow, dtype=U32),
-                    )
-                    acc[log_h] = (
-                        term
-                        if log_h not in acc
-                        else E.add(acc[log_h], term, jnp)
-                    )
-                    k += mat.width
+        with span("open.reduce"):
+            for (data, points), round_vals in zip(rounds, opened):
+                for mi, (mat, pts, mat_vals) in enumerate(
+                    zip(data.matrices, points, round_vals)
+                ):
+                    log_h = mat.log_n + P.log_blowup
+                    lde = data.tree.matrices[mi]  # device-resident
+                    for z, y in zip(pts, mat_vals):
+                        apow = alpha_pows[k : k + mat.width]
+                        y_red = _reduce_vec_ext(F, E, np.asarray(y), apow)
+                        fn = fri_reduce_fn(F, E.D, log_h, mat.width)
+                        term = fn(
+                            lde,
+                            np.asarray(z, dtype=U32),
+                            np.asarray(y_red, dtype=U32),
+                            np.asarray(apow, dtype=U32),
+                        )
+                        acc[log_h] = (
+                            term
+                            if log_h not in acc
+                            else E.add(acc[log_h], term, jnp)
+                        )
+                        k += mat.width
         # 4. commit phase (folded stays on device; variable arity)
         log_max = max(acc)
         log_final = P.log_final_poly_len + P.log_blowup
@@ -580,28 +583,29 @@ class TwoAdicFriPcs:
         commit_trees = []
         commit_pows = []
         log_size = log_max
-        for a in schedule:
-            group = 1 << a
-            rows = folded.reshape((1 << log_size) >> a, group * E.D)
-            root, tree = self.mmcs.commit([rows], jnp)
-            commit_digests.append(np.asarray(root))
-            commit_trees.append(tree)
-            challenger.observe_slice(np.asarray(root))
-            if P.commit_pow_bits:
-                commit_pows.append(challenger.grind(P.commit_pow_bits))
-            beta = challenger.sample_ext(E)
-            beta_t = np.asarray(beta, dtype=U32)
-            sub_shift = shift
-            for t in range(a):
-                folded = self._fold_once(
-                    folded, beta_t, log_size - t, sub_shift, jnp
-                )
-                beta_t = E.mul(beta_t, beta_t, np)
-                sub_shift = sub_shift * sub_shift % F.P
-            shift = sub_shift
-            log_size -= a
-            if log_size in acc:
-                folded = E.add(folded, acc[log_size], jnp)
+        with span("open.commit_phases"):
+            for a in schedule:
+                group = 1 << a
+                rows = folded.reshape((1 << log_size) >> a, group * E.D)
+                root, tree = self.mmcs.commit([rows], jnp)
+                commit_digests.append(np.asarray(root))
+                commit_trees.append(tree)
+                challenger.observe_slice(np.asarray(root))
+                if P.commit_pow_bits:
+                    commit_pows.append(challenger.grind(P.commit_pow_bits))
+                beta = challenger.sample_ext(E)
+                beta_t = np.asarray(beta, dtype=U32)
+                sub_shift = shift
+                for t in range(a):
+                    folded = self._fold_once(
+                        folded, beta_t, log_size - t, sub_shift, jnp
+                    )
+                    beta_t = E.mul(beta_t, beta_t, np)
+                    sub_shift = sub_shift * sub_shift % F.P
+                shift = sub_shift
+                log_size -= a
+                if log_size in acc:
+                    folded = E.add(folded, acc[log_size], jnp)
         # final polynomial (tiny: download + host interpolation)
         folded_np = np.asarray(folded)
         final_evals = bit_reverse_rows(folded_np, np)
@@ -617,9 +621,10 @@ class TwoAdicFriPcs:
             "FRI final poly exceeds degree bound"
         )
         challenger.observe_slice(final_coeffs)
-        pow_witness = (
-            challenger.grind(P.query_pow_bits) if P.query_pow_bits else 0
-        )
+        with span("open.grind"):
+            pow_witness = (
+                challenger.grind(P.query_pow_bits) if P.query_pow_bits else 0
+            )
         # 6. queries: sample all indices, then batch every gather
         nq = P.num_queries
         indices = [challenger.sample_bits(log_max) for _ in range(nq)]
@@ -629,29 +634,32 @@ class TwoAdicFriPcs:
         ]
         # batched row gathers per (round, matrix)
         input_rows = []  # [ri][mi] -> (nq, w) np  (includes salt matrices)
-        for (data, _pts), rlm in zip(rounds, round_log_max):
-            per_mat = []
-            for mi, dev in enumerate(data.tree.matrices):
-                log_h = dev.shape[0].bit_length() - 1
-                scaled = np.asarray(
-                    [i >> (log_max - log_h) for i in indices], dtype=np.int32
-                )
-                fn = gather_rows_fn(dev.shape[0], dev.shape[1], nq)
-                per_mat.append(np.asarray(fn(dev, scaled)))
-            input_rows.append(per_mat)
+        with span("open.query_gathers"):
+            for (data, _pts), rlm in zip(rounds, round_log_max):
+                per_mat = []
+                for mi, dev in enumerate(data.tree.matrices):
+                    log_h = dev.shape[0].bit_length() - 1
+                    scaled = np.asarray(
+                        [i >> (log_max - log_h) for i in indices],
+                        dtype=np.int32,
+                    )
+                    fn = gather_rows_fn(dev.shape[0], dev.shape[1], nq)
+                    per_mat.append(np.asarray(fn(dev, scaled)))
+                input_rows.append(per_mat)
         phase_rows = []  # [ph] -> (nq, 2^a·D) np
         offsets = []
         off = 0
         for a in schedule:
             offsets.append(off)
             off += a
-        for ph, (tree, a) in enumerate(zip(commit_trees, schedule)):
-            row_idx = np.asarray(
-                [i >> (offsets[ph] + a) for i in indices], dtype=np.int32
-            )
-            dev = tree.matrices[0]
-            fn = gather_rows_fn(dev.shape[0], dev.shape[1], nq)
-            phase_rows.append(np.asarray(fn(dev, row_idx)))
+        with span("open.phase_gathers"):
+            for ph, (tree, a) in enumerate(zip(commit_trees, schedule)):
+                row_idx = np.asarray(
+                    [i >> (offsets[ph] + a) for i in indices], dtype=np.int32
+                )
+                dev = tree.matrices[0]
+                fn = gather_rows_fn(dev.shape[0], dev.shape[1], nq)
+                phase_rows.append(np.asarray(fn(dev, row_idx)))
 
         def siblings_of(layers, index, levels):
             sibs = []

@@ -197,3 +197,37 @@ def test_connect_merges_across_levels():
     r.set_public_inputs([3, 8])
     with pytest.raises(WitnessConflict):
         r.run()
+
+
+def test_muladd_fusion_pass():
+    """Post-lowering a·b+c fusion (reference optimizer `fuse_mul_add`):
+    single-use MUL feeding an ADD lowers to ONE MULADD row; shared or
+    tagged intermediates are preserved."""
+    from plonky3_recursion_tpu.circuit.compile import K_ADD, K_MUL, K_MULADD
+
+    b = CircuitBuilder(E4)
+    x, y, z = b.public_input(), b.public_input(), b.public_input()
+    b.tag("s", b.add(b.mul(x, y), z))
+    c = b.build()
+    assert [r.kind for r in c.alu_rows] == [K_MULADD]
+    r = c.runner()
+    r.set_public_inputs([3, 5, 7])
+    assert int(r.run().probe("s")[0]) == 22
+
+    # shared intermediate must NOT fuse
+    b = CircuitBuilder(E4)
+    x, y, z = b.public_input(), b.public_input(), b.public_input()
+    t = b.mul(x, y)
+    b.tag("s", b.add(t, z))
+    b.tag("s2", b.add(t, x))
+    c = b.build()
+    assert sorted(r.kind for r in c.alu_rows) == [K_ADD, K_ADD, K_MUL]
+
+    # tagged (probed) intermediate must NOT fuse
+    b = CircuitBuilder(E4)
+    x, y, z = b.public_input(), b.public_input(), b.public_input()
+    t = b.mul(x, y)
+    b.tag("t", t)
+    b.tag("s", b.add(t, z))
+    c = b.build()
+    assert sorted(r.kind for r in c.alu_rows) == [K_ADD, K_MUL]

@@ -156,3 +156,36 @@ def _contains_subsequence(hay, needle):
         if hay[i : i + len(needle)] == needle:
             return True
     return False
+
+
+@pytest.mark.slow
+def test_standard_params_e2e():
+    """Full pipeline at the reference's STANDARD params (blowup 4, 54
+    queries, PoW 15, arity 4, final-poly 32) — catches params-sensitive
+    bugs (e.g. phase-schedule roll-in capping) that testing params mask."""
+    from plonky3_recursion_tpu.stark.fri_pcs import FriParams
+
+    config = koala_bear_config(FriParams.standard())
+    b = CircuitBuilder(E4)
+    a = b.public_input()
+    bb = b.public_input()
+    res = b.public_input()
+    for _ in range(64):
+        a, bb = bb, b.add(a, bb)
+    b.connect(bb, res)
+    circuit = b.build()
+    pdata = circuit_prover_data(config, circuit)
+    x, y = 0, 1
+    for _ in range(64):
+        x, y = y, (x + y) % KOALA_BEAR.P
+    runner = circuit.runner()
+    runner.set_public_inputs([0, 1, y])
+    traces = runner.run()
+    prover = BatchStarkProver(config)
+    proof = prover.prove_all_tables(circuit, traces, pdata, debug_lookups=True)
+    assert prover.verify_all_tables(circuit, proof, pdata)
+    # one full recursion layer at standard params
+    inner = RecursionInput(proof, circuit, pdata)
+    prep = build_next_layer_prep(config, inner)
+    layer = prove_next_layer(config, prep, inner.proof)
+    assert prover.verify_all_tables(prep.circuit, layer, prep.pdata)
