@@ -426,6 +426,7 @@ def build_batch_verifier_circuit(
                     perm_local_next[which].append(acc)
         bindings = {
             "main": {0: trace_opens[ii][0], 1: trace_opens[ii][1]},
+            "periodic": {0: _periodic_targets(b, F, air, s.log_n, zeta)},
             "preprocessed": {
                 0: prep_opens.get(ii, [[], []])[0],
                 1: prep_opens.get(ii, [[], []])[1],
@@ -545,6 +546,30 @@ def build_batch_verifier_circuit(
         npo_specs=al.npo_specs,
         app_public_positions=app_positions,
     )
+
+
+def _periodic_targets(b, F, air, log_n: int, zeta: int) -> list:
+    """In-circuit c(ζ) = p(ζ^{n/L}) per periodic column: one
+    exp_power_of_2 chain + a (packed) Horner over CONSTANT interpolant
+    coefficients (reference `verifier/periodic.rs:1-30`)."""
+    from ..ops.ntt import intt
+    from ..fields.monty31 import U32 as _U32
+
+    targets = []
+    for col in air.periodic_columns():
+        col = np.asarray(col, dtype=_U32)
+        L = col.shape[0]
+        step = (1 << log_n) // L
+        zs = (
+            b.exp_power_of_2(zeta, step.bit_length() - 1)
+            if step > 1
+            else zeta
+        )
+        coeffs = intt(F, col[:, None], np)[:, 0]
+        targets.append(
+            b.horner_eval(zs, [b.const(int(c)) for c in coeffs])
+        )
+    return targets
 
 
 def _verify_fri_circuit(config, b, al, ch, mmcs, rounds, P, tag_ns: str = ""):

@@ -99,8 +99,11 @@ def build_uni_verifier_circuit(
     first = b.div(z_h, b.sub(zeta, b.one()))
     transition = b.sub(zeta, g_inv)
     last = b.div(z_h, transition)
+    from .batch_verifier import _periodic_targets
+
     bindings = {
         "main": {0: trace_opens[0], 1: trace_opens[1]},
+        "periodic": {0: _periodic_targets(b, F, air, log_n, zeta)},
         "preprocessed": {0: [], 1: []},
         "perm": {0: [], 1: []},
         "publics": publics,

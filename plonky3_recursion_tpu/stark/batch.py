@@ -34,7 +34,12 @@ import numpy as np
 
 from ..fields.monty31 import U32
 from ..ops.ntt import _power_table, intt, ntt
-from .domains import TwoAdicCoset, lde_selectors
+from .domains import (
+    TwoAdicCoset,
+    lde_selectors,
+    periodic_at_point,
+    periodic_lde,
+)
 from .lookups import (
     Lookup,
     add_lookup_constraints,
@@ -109,6 +114,7 @@ def _instance_builder(inst: StarkInstance, challenge_idx: dict[str, int]):
         len(inst.publics),
         num_perm_ext=nper,
         num_challenges=2 * len(challenge_idx),
+        num_periodic=len(inst.air.periodic_columns()),
     )
     inst.air.eval(b)
     add_lookup_constraints(b, inst.lookups, challenge_idx)
@@ -282,11 +288,26 @@ def prove_batch(
             return ntt(F, xp.pad(scaled, [(0, m - n), (0, 0)]), xp)
 
         lde_main = to_coset(inst.trace)
+        pcols = inst.air.periodic_columns()
         bindings = {
             "main": {
                 0: ("base", lde_main),
                 1: ("base", xp.roll(lde_main, -(1 << lq), axis=0)),
             },
+            "periodic": {
+                0: (
+                    "base",
+                    xp.stack(
+                        [
+                            periodic_lde(F, c, s.log_n, lq, xp)
+                            for c in pcols
+                        ],
+                        axis=1,
+                    ),
+                )
+            }
+            if pcols
+            else {},
             "preprocessed": {},
             "perm": {},
             "publics": [
@@ -444,6 +465,7 @@ def verify_batch(
             s.num_publics,
             num_perm_ext=num_perm_cols(lks),
             num_challenges=2 * len(names),
+            num_periodic=len(air.periodic_columns()),
         )
         air.eval(b)
         add_lookup_constraints(b, lks, challenge_idx)
@@ -492,11 +514,25 @@ def verify_batch(
         dom = TwoAdicCoset(F, s.log_n, 1)
         sels = dom.selectors_at_point(E, zeta, np)
         loc, nxt = proof.trace_openings[i]
+        pcols = air.periodic_columns()
         bindings = {
             "main": {
                 0: ("ext", np.asarray(loc, dtype=U32)),
                 1: ("ext", np.asarray(nxt, dtype=U32)),
             },
+            "periodic": {
+                0: (
+                    "ext",
+                    np.stack(
+                        [
+                            periodic_at_point(F, E, c, s.log_n, zeta)
+                            for c in pcols
+                        ]
+                    ),
+                )
+            }
+            if pcols
+            else {},
             "preprocessed": {},
             "perm": {},
             "publics": [np.uint32(int(x) % p) for x in proof.publics[i]],
@@ -709,11 +745,26 @@ def _quotient_jit(config, inst, builder, shape, names, challenges, alpha, pm, te
 
         def fn(trace, prep, perm_flat, pubs, chal, term_arr, alpha_arr):
             lde_main = to_coset(trace)
+            pcols = inst.air.periodic_columns()
             bindings = {
                 "main": {
                     0: ("base", lde_main),
                     1: ("base", jnp.roll(lde_main, -(1 << lq), axis=0)),
                 },
+                "periodic": {
+                    0: (
+                        "base",
+                        jnp.stack(
+                            [
+                                periodic_lde(F, c, s.log_n, lq, jnp)
+                                for c in pcols
+                            ],
+                            axis=1,
+                        ),
+                    )
+                }
+                if pcols
+                else {},
                 "preprocessed": {},
                 "perm": {},
                 "publics": [pubs[k] for k in range(n_pub)],

@@ -124,3 +124,54 @@ def lde_selectors(
         "transition": last_den,
         "inv_vanishing": inv_z_h,
     }
+
+
+def periodic_lde(field, col, log_n: int, log_expand: int, xp=np):
+    """Evaluate the periodic extension of `col` (length L power of two,
+    canonical u32, period dividing 2^log_n) over the generator-shifted
+    coset of size 2^(log_n+log_expand), natural order.
+
+    c(x) = p(x^{n/L}) with p the degree<L interpolant of `col` on the
+    size-L subgroup; on the coset the argument runs over the size
+    L·2^log_expand coset with shift g^{n/L}, so one small LDE + tiling
+    suffices (reference `verifier/periodic.rs` evaluates the same p).
+    """
+    from ..ops.ntt import _power_table, intt, ntt
+
+    p = field.P
+    col = np.asarray(col, dtype=U32)
+    L = col.shape[0]
+    n = 1 << log_n
+    assert L & (L - 1) == 0 and L <= n
+    step = n // L
+    m2 = L << log_expand
+    coeffs = intt(field, xp.asarray(col)[:, None], xp)
+    gs = pow(int(field.generator), step, p)
+    gpow = xp.asarray(_power_table(field, gs, L))
+    scaled = field.monty_mul(coeffs, gpow[:, None], xp)
+    evals = ntt(field, xp.pad(scaled, [(0, m2 - L), (0, 0)]), xp)[:, 0]
+    return xp.tile(evals, (n << log_expand) // m2)
+
+
+def periodic_at_point(field, ext, col, log_n: int, zeta, xp=np):
+    """c(ζ) = p(ζ^{n/L}) as a (D,) extension value (the verifier-side
+    evaluation; in-circuit this is exp_power_of_2 + a Horner chain)."""
+    from ..ops.ntt import intt
+
+    col = np.asarray(col, dtype=U32)
+    L = col.shape[0]
+    step = (1 << log_n) // L
+    zs = np.asarray(zeta, dtype=U32)
+    s = step
+    while s > 1:
+        zs = ext.mul(zs, zs, xp)
+        s >>= 1
+    coeffs = intt(field, col[:, None], xp)[:, 0]
+    acc = np.zeros((ext.D,), dtype=U32)
+    for c in reversed([int(x) for x in coeffs]):
+        acc = ext.add(
+            ext.mul(acc, zs, xp),
+            ext.from_base(np.asarray([c], dtype=U32), xp)[0],
+            xp,
+        )
+    return acc

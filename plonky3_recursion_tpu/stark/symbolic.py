@@ -71,7 +71,7 @@ class Var(SExpr):
 
     def __init__(self, segment: str, col: int, offset: int, is_ext: bool = False):
         super().__init__()
-        assert segment in ("preprocessed", "main", "perm")
+        assert segment in ("preprocessed", "main", "perm", "periodic")
         assert offset in (0, 1)
         self.segment, self.col, self.offset, self.is_ext = (
             segment,
@@ -146,9 +146,13 @@ class AirBuilder:
     num_publics: int = 0
     num_perm_ext: int = 0  # extension-valued permutation (LogUp) columns
     num_challenges: int = 0
+    num_periodic: int = 0
 
     def __post_init__(self):
         self.constraints: list[SExpr] = []
+        self.periodic = [
+            Var("periodic", c, 0) for c in range(self.num_periodic)
+        ]
         self.main_local = [Var("main", c, 0) for c in range(self.width_main)]
         self.main_next = [Var("main", c, 1) for c in range(self.width_main)]
         self.prep_local = [Var("preprocessed", c, 0) for c in range(self.width_prep)]
@@ -200,6 +204,14 @@ class Air:
     width_prep: int = 0
     num_publics: int = 0
 
+    def periodic_columns(self) -> list:
+        """Verifier-recomputable periodic columns (reference
+        `verifier/periodic.rs`): each a power-of-two-length canonical u32
+        array whose values repeat every `len` rows.  Evaluated natively
+        (and in-circuit) at ζ instead of being committed — free width for
+        round-constant-style patterns."""
+        return []
+
     def cache_key(self) -> tuple:
         """Stable identity for compiled-kernel caches (override when the
         constraint set depends on more than the widths)."""
@@ -222,6 +234,7 @@ class Air:
             self.num_publics,
             num_perm_ext,
             num_challenges,
+            num_periodic=len(self.periodic_columns()),
         )
         self.eval(b)
         return b

@@ -34,7 +34,12 @@ from ..fields.monty31 import Monty31, U32
 from ..ops.ntt import _power_table, intt, ntt
 from ..utils import ext_powers
 from .challenger import DuplexChallenger
-from .domains import TwoAdicCoset, lde_selectors
+from .domains import (
+    TwoAdicCoset,
+    lde_selectors,
+    periodic_at_point,
+    periodic_lde,
+)
 from .fri_pcs import FriParams, FriProof, TwoAdicFriPcs
 from .symbolic import Air, Evaluator, log_quotient_degree
 
@@ -136,8 +141,20 @@ def quotient_values(config: StarkConfig, air: Air, trace, publics, alpha, xp):
     lde_q = ntt(F, xp.pad(scaled, [(0, m - n), (0, 0)]), xp)
     nxt = xp.roll(lde_q, -(1 << lq), axis=0)  # p(w_n·x): roll by stride
     sels = lde_selectors(F, log_n, lq, F.generator)
+    pcols = air.periodic_columns()
     bindings = {
         "main": {0: ("base", lde_q), 1: ("base", nxt)},
+        "periodic": {
+            0: (
+                "base",
+                xp.stack(
+                    [periodic_lde(F, c, log_n, lq, xp) for c in pcols],
+                    axis=1,
+                ),
+            )
+        }
+        if pcols
+        else {},
         "preprocessed": {},
         "perm": {},
         "publics": [xp.asarray(np.uint32(int(p) % F.P)) for p in publics],
@@ -224,11 +241,25 @@ def verify(config: StarkConfig, air: Air, proof: UniProof, publics) -> bool:
     # constraint fold at ζ
     domain = TwoAdicCoset(F, log_n, 1)
     sels = domain.selectors_at_point(E, zeta, np)
+    pcols = air.periodic_columns()
     bindings = {
         "main": {
             0: ("ext", np.asarray(proof.trace_local, dtype=U32)),
             1: ("ext", np.asarray(proof.trace_next, dtype=U32)),
         },
+        "periodic": {
+            0: (
+                "ext",
+                np.stack(
+                    [
+                        periodic_at_point(F, E, c, log_n, zeta)
+                        for c in pcols
+                    ]
+                ),
+            )
+        }
+        if pcols
+        else {},
         "preprocessed": {},
         "perm": {},
         "publics": [np.uint32(int(x) % p) for x in publics],
