@@ -304,53 +304,56 @@ class BatchStarkProver:
             np.asarray(prover_data.common.prep_commitment, dtype=U32),
         ):
             raise ValueError("prep commitment mismatch (wrong circuit)")
-        # bind publics: proof's claimed instance publics must match
-        pubs = np.asarray(proof.public_values, dtype=U32)
-        if [int(x) for x in pubs.reshape(-1)] != list(
-            proof.batch.publics[1]
-        ):
-            raise ValueError("public values mismatch")
-        # natively recompute the Public terminal to bind the claimed public
-        # inputs to the bus.  (Const values are preprocessed — bound by the
-        # offline preprocessed commitment, no value recomputation needed.)
-        names = sorted({"WitnessChecks"})
-        # challenges must be re-derived exactly as verify_batch did
-        ch = config.challenger()
-        from ..stark.batch import _bind_instances
-
-        _bind_instances(ch, proof.batch.shapes)
-        if prover_data.common.prep_commitment is not None:
-            ch.observe_slice(prover_data.common.prep_commitment)
-        if proof.batch.random_commit is not None:
-            ch.observe_slice(np.asarray(proof.batch.random_commit))
-        ch.observe_slice(proof.batch.trace_commit)
-        for ps in proof.batch.publics:
-            ch.observe_slice(np.asarray(ps, dtype=U32))
-        alpha = ch.sample_ext(E)
-        beta = ch.sample_ext(E)
-        d = circuit.ext.D
-        term_by_inst = dict(proof.batch.lookup_terminals)
-        for inst_idx, prep, values in (
-            (
-                1,
-                # lane-packed prep flattens back to logical [mult, idx] rows
-                prover_data.preps[1].reshape(-1, 2),
-                _pad_rows(
-                    pubs,
-                    prover_data.preps[1].shape[0]
-                    * prover_data.packing.public_lanes,
-                    d,
-                ),
-            ),
-        ):
-            want = _native_terminal(F, E, prep, values, alpha, beta)
-            got = term_by_inst[inst_idx]
-            if not np.array_equal(want, np.asarray(got, dtype=U32)):
-                raise ValueError(
-                    f"instance {inst_idx} terminal does not match native "
-                    "recomputation (publics/constants not bound)"
-                )
+        bind_publics_and_terminal(
+            config,
+            proof,
+            prover_data.common.prep_commitment,
+            prover_data.preps[1].reshape(-1, 2),
+        )
         return True
+
+
+def bind_publics_and_terminal(
+    config: StarkConfig,
+    proof: "BatchStarkProof",
+    prep_commitment,
+    public_prep,
+):
+    """Bind the claimed public inputs to the bus: check them against the
+    proof's Public-instance values and natively recompute the Public
+    table's LogUp terminal from the (preprocessed, prep-commitment-bound)
+    [mult, idx] rows.  (Const values are preprocessed — bound by the
+    offline preprocessed commitment, no value recomputation needed.)"""
+    F, E = config.field, config.ext
+    d = E.D
+    pubs = np.asarray(proof.public_values, dtype=U32)
+    if [int(x) for x in pubs.reshape(-1)] != list(proof.batch.publics[1]):
+        raise ValueError("public values mismatch")
+    # challenges must be re-derived exactly as verify_batch did
+    ch = config.challenger()
+    from ..stark.batch import _bind_instances
+
+    _bind_instances(ch, proof.batch.shapes)
+    if prep_commitment is not None:
+        ch.observe_slice(np.asarray(prep_commitment, dtype=U32))
+    if proof.batch.random_commit is not None:
+        ch.observe_slice(np.asarray(proof.batch.random_commit))
+    ch.observe_slice(proof.batch.trace_commit)
+    for ps in proof.batch.publics:
+        ch.observe_slice(np.asarray(ps, dtype=U32))
+    alpha = ch.sample_ext(E)
+    beta = ch.sample_ext(E)
+    term_by_inst = dict(proof.batch.lookup_terminals)
+    prep = np.asarray(public_prep, dtype=U32).reshape(-1, 2)
+    values = _pad_rows(pubs, prep.shape[0], d)
+    want = _native_terminal(F, E, prep, values, alpha, beta)
+    got = term_by_inst[1]
+    if not np.array_equal(want, np.asarray(got, dtype=U32)):
+        raise ValueError(
+            "Public terminal does not match native recomputation "
+            "(publics not bound)"
+        )
+    return True
 
 
 def _pad_rows(mat, height, d):

@@ -74,3 +74,45 @@ def test_verifier_manifest():
     )
     with pytest.raises(ValueError, match="manifest"):
         manifest.check(proof2)
+
+
+def test_manifest_circuit_free_verification():
+    """Metadata-only verification (reference verify_all_tables rebuilding
+    AIRs from proof metadata): the manifest alone — no compiled circuit —
+    rebuilds every AIR, re-derives lookups, and binds publics."""
+    import numpy as np
+
+    config = koala_bear_config(FriParams.testing())
+    circuit = fibonacci_circuit(16)
+    pdata = circuit_prover_data(config, circuit)
+    r = circuit.runner()
+    r.set_public_inputs([0, 1, fib_value(16)])
+    proof = BatchStarkProver(config).prove_all_tables(circuit, r.run(), pdata)
+    manifest = VerifierManifest.from_circuit(config, circuit, pdata)
+    assert manifest.verify_all_tables(config, proof)
+    # tampered public values rejected by the terminal recomputation
+    import copy
+
+    bad = copy.deepcopy(proof)
+    bad.public_values = np.asarray(bad.public_values).copy()
+    bad.public_values[2, 0] = (int(bad.public_values[2, 0]) + 1) % config.field.P
+    bad.batch.publics[1] = [int(x) for x in bad.public_values.reshape(-1)]
+    with pytest.raises(ValueError):
+        manifest.verify_all_tables(config, bad)
+
+
+def test_manifest_with_npo_tables():
+    """AIR reconstruction through the plugin registry for a proof that
+    carries Poseidon2 + recompose + Horner tables (a recursion layer)."""
+    from tests.test_recursion import make_inner
+    from plonky3_recursion_tpu.recursion.recursion import (
+        build_next_layer_prep,
+        prove_next_layer,
+    )
+
+    config, inner = make_inner(n=8)
+    prep = build_next_layer_prep(config, inner)
+    layer = prove_next_layer(config, prep, inner.proof)
+    manifest = VerifierManifest.from_circuit(config, prep.circuit, prep.pdata)
+    assert len(manifest.npo_types) >= 2
+    assert manifest.verify_all_tables(config, layer)
