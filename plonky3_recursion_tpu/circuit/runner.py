@@ -86,15 +86,18 @@ class CircuitRunner:
             self.npos_by_level.setdefault(call.level, []).append(call)
         self._ran = False
         self.npo_records: dict[str, list] = {}
-        # native executor: level-sorted flat row arrays (C++ hot loop)
+        # native executor: level-sorted flat row arrays (C++ hot loop).
+        # Binomial extensions only — trinomial (quintic) circuits fall back
+        # to the vectorized numpy path.
         self._native = None
-        try:
-            from ..native import execute_alu_rows, get_lib
+        if hasattr(circuit.ext, "W") or circuit.ext.D == 1:
+            try:
+                from ..native import execute_alu_rows, get_lib
 
-            get_lib()
-            self._native = execute_alu_rows
-        except Exception:
-            pass
+                get_lib()
+                self._native = execute_alu_rows
+            except Exception:
+                pass
         if self._native is not None:
             order = sorted(
                 range(len(circuit.alu_rows)),

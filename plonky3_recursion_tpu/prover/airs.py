@@ -118,15 +118,23 @@ class PublicAir(Air):
 class AluAir(Air):
     num_publics = 0
 
-    def __init__(self, d: int, w_binomial: int, lanes: int = 1):
+    def __init__(
+        self, d: int, w_binomial: int, lanes: int = 1, quintic: bool = False
+    ):
+        """quintic=True selects the trinomial ext-mul reduction
+        x^5 = 1 − x^2 (reference `AluExtMulKind::QuinticTrinomial`,
+        `circuit-prover/src/air/alu_air.rs:109`); otherwise the binomial
+        x^D = W reduction."""
+        assert not quintic or d == 5
         self.d = d
         self.w = w_binomial
         self.lanes = lanes
+        self.quintic = quintic
         self.width_main = 4 * d * lanes
         self.width_prep = ALU_PREP_WIDTH * lanes
 
     def cache_key(self):
-        return (type(self).__name__, self.d, self.w, self.lanes)
+        return (type(self).__name__, self.d, self.w, self.lanes, self.quintic)
 
     def _slot(self, s: int, lane: int = 0):
         base = lane * 4 * self.d
@@ -135,7 +143,7 @@ class AluAir(Air):
         ]
 
     def _conv(self, a, b):
-        """Binomial-extension product coefficients (degree-2 exprs)."""
+        """Extension product coefficients (degree-2 exprs)."""
         d = self.d
         cols = []
         for k in range(2 * d - 1):
@@ -144,6 +152,15 @@ class AluAir(Air):
                 t = a[i] * b[k - i]
                 acc = t if acc is None else acc + t
             cols.append(acc)
+        if self.quintic:
+            # x^{5+j} = x^j − x^{2+j}, descending so the x^8 term cascades
+            cols = list(cols)
+            for k in range(2 * d - 2, d - 1, -1):
+                j = k - d
+                v = cols[k]
+                cols[j] = cols[j] + v
+                cols[2 + j] = cols[2 + j] - v
+            return cols[:d]
         out = []
         for k in range(d):
             v = cols[k]

@@ -207,11 +207,12 @@ def _airs(
 ):
     packing = packing or TablePacking()
     d = circuit.ext.D
-    w = circuit.ext.W if d > 1 else 0
+    quintic = d > 1 and not hasattr(circuit.ext, "W")
+    w = circuit.ext.W if d > 1 and not quintic else 0
     airs = [
         ConstAir(d),
         PublicAir(d, packing.public_lanes),
-        AluAir(d, w, packing.alu_lanes),
+        AluAir(d, w, packing.alu_lanes, quintic=quintic),
     ]
     for plugin, _calls in _npo_groups(circuit):
         airs.append(plugin.table_air())
@@ -265,10 +266,26 @@ class BatchStarkProver:
             mains = build_main_tables(
                 circuit, traces, prover_data.min_height, prover_data.packing
             )
+        preps = prover_data.preps
+        if self.config.pcs.use_jit:
+            # ONE host->device upload per table: main matrices and the
+            # (static, cached) preprocessed matrices become device-resident
+            # here, so commit, permutation-column generation and quotient
+            # evaluation all reuse the same buffers instead of re-uploading
+            # through the interconnect per consumer (~3x the bytes).
+            import jax.numpy as jnp
+
+            with span("upload_tables"):
+                mains = [jnp.asarray(m) for m in mains]
+                if not hasattr(prover_data, "_device_preps"):
+                    prover_data._device_preps = tuple(
+                        jnp.asarray(p) for p in preps
+                    )
+                preps = prover_data._device_preps
         instances = _instances(
             self.config,
             circuit,
-            prover_data.preps,
+            preps,
             mains,
             prover_data.packing,
         )

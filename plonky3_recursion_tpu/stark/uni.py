@@ -76,6 +76,20 @@ def koala_bear_config(
     )
 
 
+def koala_bear_quintic_config(
+    params: FriParams | None = None,
+) -> StarkConfig:
+    """KoalaBear with the quintic trinomial challenge field x^5 + x^2 − 1
+    (reference `--quintic` configs; `AluExtMulKind::QuinticTrinomial`).
+    Host execution path (jit kernels are keyed to binomial extensions)."""
+    from ..fields import KOALA_BEAR, koala_bear_quintic
+
+    E = koala_bear_quintic()
+    return StarkConfig(
+        KOALA_BEAR, E, TwoAdicFriPcs(KOALA_BEAR, E, params or FriParams.testing())
+    )
+
+
 def baby_bear_config(
     params: FriParams | None = None, use_jit: bool = False, zk: bool = False
 ) -> StarkConfig:
