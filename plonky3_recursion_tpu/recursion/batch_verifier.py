@@ -176,6 +176,7 @@ def build_batch_verifier_circuit(
     terminal_checks: list | None = None,
     tag_ns: str = "",
     app_public_idx: list | None = None,
+    horner_k: int = 8,
 ) -> VerifierCircuitResult:
     """Lower `verify_batch(config, airs_lookups, proof, common)` into a
     circuit for proofs with the given instance shapes.
@@ -208,7 +209,7 @@ def build_batch_verifier_circuit(
         npo = poseidon2_npo_for(F.name)
         builder.enable_op(npo)
         builder.enable_recompose(recompose_npo_for(F.name))
-        builder.enable_horner(horner_npo_for(F.name))
+        builder.enable_horner(horner_npo_for(F.name, horner_k))
         npo_type_id = npo.type_id
     b = builder
     al = _Alloc(b)

@@ -121,8 +121,57 @@ def _terminal_checks(circuit: Circuit, pdata) -> list:
     return [(1, pub_rows)]
 
 
+@dataclasses.dataclass(frozen=True)
+class ProveNextLayerParams:
+    """Per-layer proving knobs (reference `ProveNextLayerParams`,
+    `recursion.rs:221`).  The ConstraintProfile selects the layer's chip
+    shaping: RECURSION_OPTIMIZED packs more lanes per trace row and more
+    Horner steps per packed row — fewer, wider rows, so the NEXT layer's
+    verifier circuit is smaller — while STANDARD keeps the defaults.  The
+    profile must match between prove and recursive verify (it changes the
+    circuit fingerprint)."""
+
+    packing: "TablePacking | None" = None
+    profile: "ConstraintProfile" = None
+    horner_k: int = 8
+
+    def __post_init__(self):
+        from ..prover.constraint_profile import ConstraintProfile
+
+        if self.profile is None:
+            object.__setattr__(
+                self, "profile", ConstraintProfile.STANDARD
+            )
+
+    def resolved_packing(self):
+        from ..prover.batch_prover import TablePacking
+        from ..prover.constraint_profile import ConstraintProfile
+
+        if self.packing is not None:
+            return self.packing
+        if self.profile == ConstraintProfile.RECURSION_OPTIMIZED:
+            return TablePacking(public_lanes=2, alu_lanes=8)
+        return TablePacking()
+
+    def resolved_horner_k(self) -> int:
+        from ..prover.constraint_profile import ConstraintProfile
+
+        if self.profile == ConstraintProfile.RECURSION_OPTIMIZED:
+            return max(self.horner_k, 16)
+        return self.horner_k
+
+    def key(self) -> tuple:
+        p = self.resolved_packing()
+        return (
+            self.profile.value,
+            p.public_lanes,
+            p.alu_lanes,
+            self.resolved_horner_k(),
+        )
+
+
 def build_next_layer_circuit(
-    config: StarkConfig, inner: RecursionInput | tuple
+    config: StarkConfig, inner: RecursionInput | tuple, horner_k: int = 8
 ) -> tuple[Circuit, VerifierCircuitResult]:
     """Build the circuit verifying proofs shaped like `inner`'s.
 
@@ -157,6 +206,7 @@ def build_next_layer_circuit(
         inner_pdata.common,
         terminal_checks=_terminal_checks(inner_circuit, inner_pdata),
         app_public_idx=set(app_idx),
+        horner_k=horner_k,
     )
     outer_circuit = vcr.builder.build()
     return outer_circuit, vcr
@@ -173,10 +223,17 @@ class NextLayerPrep:
 
 
 def build_next_layer_prep(
-    config: StarkConfig, inner: RecursionInput
+    config: StarkConfig,
+    inner: RecursionInput,
+    params: ProveNextLayerParams | None = None,
 ) -> NextLayerPrep:
-    outer_circuit, vcr = build_next_layer_circuit(config, inner)
-    pdata = circuit_prover_data(config, outer_circuit)
+    params = params or ProveNextLayerParams()
+    outer_circuit, vcr = build_next_layer_circuit(
+        config, inner, horner_k=params.resolved_horner_k()
+    )
+    pdata = circuit_prover_data(
+        config, outer_circuit, packing=params.resolved_packing()
+    )
     return NextLayerPrep(outer_circuit, vcr, pdata)
 
 
@@ -231,13 +288,17 @@ class NextLayerPrepCache:
         self.misses = 0
 
     def get_or_build(
-        self, config: StarkConfig, inner: RecursionInput
+        self,
+        config: StarkConfig,
+        inner: RecursionInput,
+        params: ProveNextLayerParams | None = None,
     ) -> NextLayerPrep:
-        key = inner_fingerprint(config, inner)
+        params = params or ProveNextLayerParams()
+        key = (inner_fingerprint(config, inner), params.key())
         prep = self._entries.get(key)
         if prep is None:
             self.misses += 1
-            prep = build_next_layer_prep(config, inner)
+            prep = build_next_layer_prep(config, inner, params)
             self._entries[key] = prep
         else:
             self.hits += 1

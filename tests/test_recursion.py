@@ -189,3 +189,28 @@ def test_standard_params_e2e():
     prep = build_next_layer_prep(config, inner)
     layer = prove_next_layer(config, prep, inner.proof)
     assert prover.verify_all_tables(prep.circuit, layer, prep.pdata)
+
+
+def test_recursion_optimized_profile():
+    """ConstraintProfile.RECURSION_OPTIMIZED shapes the layer: wider lane
+    packing and K=16 packed Horner rows, proven and verified end-to-end
+    (reference ProveNextLayerParams + ConstraintProfile)."""
+    from plonky3_recursion_tpu.prover.constraint_profile import (
+        ConstraintProfile,
+    )
+    from plonky3_recursion_tpu.recursion.recursion import (
+        ProveNextLayerParams,
+    )
+
+    config, inner = make_inner(n=8)
+    params = ProveNextLayerParams(
+        profile=ConstraintProfile.RECURSION_OPTIMIZED
+    )
+    prep = build_next_layer_prep(config, inner, params)
+    assert prep.pdata.packing.alu_lanes == 8
+    assert any(
+        "k16" in c.plugin.type_id for c in prep.circuit.npo_calls
+    )
+    layer = prove_next_layer(config, prep, inner.proof)
+    prover = BatchStarkProver(config)
+    assert prover.verify_all_tables(prep.circuit, layer, prep.pdata)
