@@ -38,10 +38,13 @@ from ..fields.monty31 import Monty31, U32
 
 _ROUND_NUMBERS = {
     # (field_name, width) -> (full_rounds, partial_rounds)
+    # (reference preset family, `poseidon2-circuit-air/src/public_types.rs`)
     ("baby_bear", 16): (8, 13),
     ("baby_bear", 24): (8, 21),
+    ("baby_bear", 32): (8, 30),
     ("koala_bear", 16): (8, 20),
     ("koala_bear", 24): (8, 23),
+    ("koala_bear", 32): (8, 31),
 }
 
 

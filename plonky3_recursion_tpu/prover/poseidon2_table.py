@@ -3,10 +3,17 @@
 TPU-native equivalent of the reference's Poseidon2 perm NPO + circuit AIR
 (`circuit/src/ops/poseidon2_perm/`, `poseidon2-circuit-air/src/air.rs:26-70`,
 `poseidon-circuit-cols/src/cols.rs:64-115`; SURVEY.md §2.1/§2.3), redesigned
-tall-and-narrow for the VPU: one trace row per ROUND (16 state + 16 S-box
-main columns) instead of the reference's wide one-row-per-permutation
-layout.  Heights are cheap on TPU and the committed S-box columns keep
-every constraint at degree ≤ 3 (KoalaBear x^3 S-box).
+tall-and-narrow for the VPU: one trace row per ROUND (width state + width
+S-box-register main columns per register) instead of the reference's wide
+one-row-per-permutation layout.  Heights are cheap on TPU and the committed
+S-box columns keep every constraint at degree ≤ 3 (x³ directly; x⁷ via the
+two-register split sb1 = t³, sb = sb1²·t — the reference's SBOX_REGISTERS
+decomposition).
+
+WIDTH-GENERIC: the same AIR serves the reference's preset family
+(`public_types.rs`) — W16 (challenger/MMCS digests), W24 (wide sponges),
+W32 (arity-4 compression) — for BabyBear and KoalaBear; the preprocessed
+layout offsets are computed from the width.
 
 Chaining (the reference's core circuit-size trick, rebuilt for the
 row-per-round layout): consecutive perm calls on one CHAIN occupy adjacent
@@ -49,14 +56,11 @@ from ..stark.lookups import Interaction, Lookup
 from ..stark.symbolic import Air, Var
 from .airs import BUS
 
-WIDTH = 16
+WIDTH = 16  # default (challenger/MMCS) config; the AIR is width-generic
 WIDTH_EXT = 4
 RATE_EXT = 2
-# main layout: state(16) | sbox register blocks (16 each) | B | S.
-# KoalaBear's cubic S-box needs ONE register block (sb = t³); BabyBear's
-# x⁷ splits across TWO (sb1 = t³, sb = sb1²·t — both degree ≤ 3), the
-# reference's SBOX_REGISTERS decomposition
-# (`poseidon2-circuit-air/src/public_types.rs`).
+
+
 def _sbox_registers(deg: int) -> int:
     if deg == 3:
         return 1
@@ -64,25 +68,50 @@ def _sbox_registers(deg: int) -> int:
         return 2
     raise ValueError(f"unsupported S-box degree {deg}")
 
-# preprocessed layout.  The four limb CTL column pairs are DUAL-USE: on a
-# block's row 0 they receive the CTL'd input limbs, on its last row they
-# send the CTL'd output limbs — the interaction reads the same main state
-# columns either way, so one lookup serves both directions (fewer LogUp
-# aux columns).
-P_RC = 0  # 16 cols of round constants
-P_SEL_ME = 16  # initial external-linear-layer transition
-P_SEL_EXT = 17  # external round transition
-P_SEL_INT = 18  # internal round transition
-P_IO_IDX = 19  # 4 cols: D-scaled bus indices (row 0: inputs, last: outputs)
-P_IO_MULT = 23  # 4 cols: signed multiplicities
-P_SUM_IDX = 27  # index-sum binding (last row)
-P_SUM_MULT = 28
-P_SPONGE = 29  # 4 cols: sponge-chain gate per limb (row 0)
-P_MERKLE = 33  # 2 cols: merkle-chain gate per rate limb (row 0)
-P_MACC = 35  # index accumulator gate (row 0 of merkle rows)
-P_ZEROL = 36  # 4 cols: limb-must-be-zero gate (new-chain rows)
-P_MROW = 40  # 1 on EVERY row of a merkle block (kills S elsewhere)
-PREP_WIDTH = 41
+
+class _Layout:
+    """Per-width main/preprocessed column layout.
+
+    Preprocessed per row: [rc × width | sel_me | sel_ext | sel_int |
+    io_idx × width_ext | io_mult × width_ext | sum_idx | sum_mult |
+    sponge × width_ext | merkle × rate_ext | macc | zerol × width_ext |
+    mrow].  The limb CTL column pairs are DUAL-USE: row 0 receives the
+    CTL'd input limbs, the last row sends the outputs — one lookup serves
+    both directions (fewer LogUp aux columns)."""
+
+    def __init__(self, width: int, d: int, n_sbox: int):
+        self.width = width
+        self.width_ext = width // d
+        # capacity is always 8 base elements (the digest size); Merkle
+        # 2-to-1 chaining always works on 8-element digest halves
+        self.rate_ext = (width - 8) // d
+        self.digest_limbs = 8 // d
+        self.n_sbox = n_sbox
+        self.col_b = (1 + n_sbox) * width
+        self.col_s = self.col_b + 1
+        self.main_width = self.col_s + 1
+        o = width
+        self.p_sel_me = o
+        self.p_sel_ext = o + 1
+        self.p_sel_int = o + 2
+        o += 3
+        self.p_io_idx = o
+        o += self.width_ext
+        self.p_io_mult = o
+        o += self.width_ext
+        self.p_sum_idx = o
+        self.p_sum_mult = o + 1
+        o += 2
+        self.p_sponge = o
+        o += self.width_ext
+        self.p_merkle = o
+        o += self.digest_limbs
+        self.p_macc = o
+        o += 1
+        self.p_zerol = o
+        o += self.width_ext
+        self.p_mrow = o
+        self.prep_width = o + 1
 
 
 def _m4_exprs(c):
@@ -95,68 +124,77 @@ def _m4_exprs(c):
     ]
 
 
-def _ext_layer_exprs(state):
-    chunks = [_m4_exprs(state[i : i + 4]) for i in range(0, WIDTH, 4)]
+def _ext_layer_exprs(state, width: int):
+    chunks = [_m4_exprs(state[i : i + 4]) for i in range(0, width, 4)]
     sums = []
     for j in range(4):
         s = chunks[0][j]
-        for g in range(1, WIDTH // 4):
+        for g in range(1, width // 4):
             s = s + chunks[g][j]
         sums.append(s)
-    return [chunks[g][j] + sums[j] for g in range(WIDTH // 4) for j in range(4)]
+    return [
+        chunks[g][j] + sums[j] for g in range(width // 4) for j in range(4)
+    ]
 
 
 class Poseidon2TableAir(Air):
-    width_prep = PREP_WIDTH
     num_publics = 0
 
     def __init__(self, params: Poseidon2Params, d: int):
-        assert params.width == WIDTH
-        assert WIDTH_EXT * d == WIDTH
         self.params = params
         self.d = d
         self.n_sbox = _sbox_registers(params.field.sbox_degree)
-        self.col_b = (1 + self.n_sbox) * WIDTH
-        self.col_s = self.col_b + 1
-        self.width_main = self.col_s + 1
+        self.L = _Layout(params.width, d, self.n_sbox)
+        self.col_b = self.L.col_b
+        self.col_s = self.L.col_s
+        self.width_main = self.L.main_width
+        self.width_prep = self.L.prep_width
 
     def cache_key(self):
-        return (type(self).__name__, self.params.field.name, self.d, "v2")
+        return (
+            type(self).__name__,
+            self.params.field.name,
+            self.params.width,
+            self.d,
+            "v3",
+        )
 
     def eval(self, b):
         d = self.d
-        cur = b.main_local[:WIDTH]
-        sb = b.main_local[self.n_sbox * WIDTH : (1 + self.n_sbox) * WIDTH]
-        nxt = b.main_next[:WIDTH]
+        L = self.L
+        width = L.width
+        cur = b.main_local[:width]
+        sb = b.main_local[self.n_sbox * width : (1 + self.n_sbox) * width]
+        nxt = b.main_next[:width]
         bit = b.main_local[self.col_b]
         nxt_bit = b.main_next[self.col_b]
         s_acc = b.main_local[self.col_s]
         nxt_s = b.main_next[self.col_s]
-        rc = [Var("preprocessed", P_RC + j, 0) for j in range(WIDTH)]
-        sel_me = Var("preprocessed", P_SEL_ME, 0)
-        sel_ext = Var("preprocessed", P_SEL_EXT, 0)
-        sel_int = Var("preprocessed", P_SEL_INT, 0)
-        # --- permutation round structure (as in round 1) ---
+        rc = [Var("preprocessed", j, 0) for j in range(width)]
+        sel_me = Var("preprocessed", L.p_sel_me, 0)
+        sel_ext = Var("preprocessed", L.p_sel_ext, 0)
+        sel_int = Var("preprocessed", L.p_sel_int, 0)
+        # --- permutation round structure ---
         if self.n_sbox == 1:
-            for j in range(WIDTH):
+            for j in range(width):
                 t = cur[j] + rc[j]
                 b.assert_zero(sb[j] - t * t * t)
         else:
             # x⁷ register split: sb1 = t³ then sb = sb1²·t (degree ≤ 3)
-            sb1 = b.main_local[WIDTH : 2 * WIDTH]
-            for j in range(WIDTH):
+            sb1 = b.main_local[width : 2 * width]
+            for j in range(width):
                 t = cur[j] + rc[j]
                 b.assert_zero(sb1[j] - t * t * t)
                 b.assert_zero(sb[j] - sb1[j] * sb1[j] * t)
-        me_cur = _ext_layer_exprs(cur)
-        me_sb = _ext_layer_exprs(sb)
+        me_cur = _ext_layer_exprs(cur, width)
+        me_sb = _ext_layer_exprs(sb, width)
         lanes = [sb[0]] + list(cur[1:])
         total = lanes[0]
         for x in lanes[1:]:
             total = total + x
         diag = self.params.diag
-        out_int = [lanes[j] * int(diag[j]) + total for j in range(WIDTH)]
-        for j in range(WIDTH):
+        out_int = [lanes[j] * int(diag[j]) + total for j in range(width)]
+        for j in range(width):
             b.assert_zero(sel_me * (nxt[j] - me_cur[j]))
             b.assert_zero(sel_ext * (nxt[j] - me_sb[j]))
             b.assert_zero(sel_int * (nxt[j] - out_int[j]))
@@ -164,7 +202,7 @@ class Poseidon2TableAir(Air):
         # Direction bit is prover-chosen at runtime: boolean-constrain it.
         b.assert_zero(bit * bit - bit)
         # S vanishes off merkle rows (padding included: zero prep).
-        b.assert_zero((1 - Var("preprocessed", P_MROW, 0)) * s_acc)
+        b.assert_zero((1 - Var("preprocessed", L.p_mrow, 0)) * s_acc)
         # S rides unchanged through the block's intra-block transitions.
         intra = sel_me + sel_ext + sel_int
         b.assert_zero(intra * (nxt_s - s_acc))
@@ -172,47 +210,49 @@ class Poseidon2TableAir(Air):
         # The chain's first merkle row follows a (forced-S=0) sponge row,
         # so the same constraint initializes S' = B'.
         b.assert_zero(
-            Var("preprocessed", P_MACC, 1) * (nxt_s - 2 * s_acc - nxt_bit)
+            Var("preprocessed", L.p_macc, 1) * (nxt_s - 2 * s_acc - nxt_bit)
         )
         # Sponge chaining: gated per limb on the NEXT row's prep flag.
-        for l in range(WIDTH_EXT):
-            sc = Var("preprocessed", P_SPONGE + l, 1)
+        for l in range(L.width_ext):
+            sc = Var("preprocessed", L.p_sponge + l, 1)
             for j in range(d):
                 c = l * d + j
                 b.assert_zero(sc * (nxt[c] - cur[c]))
-            zg = Var("preprocessed", P_ZEROL + l, 0)
+            zg = Var("preprocessed", L.p_zerol + l, 0)
             for j in range(d):
                 b.assert_zero(zg * cur[l * d + j])
         # Merkle chaining: running digest (rate limbs of cur output) goes
         # left (B'=0) or right (B'=1) in the next row's input; the other
         # half holds the private sibling (unconstrained here, bound by the
         # final root connect).
-        for i in range(RATE_EXT):
-            mc = Var("preprocessed", P_MERKLE + i, 1)
+        for i in range(L.digest_limbs):
+            mc = Var("preprocessed", L.p_merkle + i, 1)
             left = mc * (1 - nxt_bit)
             right = mc * nxt_bit
             for j in range(d):
                 b.assert_zero(left * (nxt[i * d + j] - cur[i * d + j]))
                 b.assert_zero(
-                    right * (nxt[(RATE_EXT + i) * d + j] - cur[i * d + j])
+                    right
+                    * (nxt[(L.digest_limbs + i) * d + j] - cur[i * d + j])
                 )
 
     def lookups(self):
         d = self.d
+        L = self.L
         inters = []
-        for l in range(WIDTH_EXT):
+        for l in range(L.width_ext):
             inters.append(
                 Interaction(
-                    [Var("preprocessed", P_IO_IDX + l, 0)]
+                    [Var("preprocessed", L.p_io_idx + l, 0)]
                     + [Var("main", l * d + j, 0) for j in range(d)],
-                    Var("preprocessed", P_IO_MULT + l, 0),
+                    Var("preprocessed", L.p_io_mult + l, 0),
                 )
             )
         inters.append(
             Interaction(
-                [Var("preprocessed", P_SUM_IDX, 0), Var("main", self.col_s, 0)]
+                [Var("preprocessed", L.p_sum_idx, 0), Var("main", self.col_s, 0)]
                 + [0] * (d - 1),
-                Var("preprocessed", P_SUM_MULT, 0),
+                Var("preprocessed", L.p_sum_mult, 0),
             )
         )
         return [Lookup(BUS, inters)]
@@ -242,14 +282,17 @@ class Poseidon2Npo:
     """Chained Poseidon2 permutation NPO (circuit plugin + prover plugin).
 
     Calls go through `CircuitBuilder.perm_call`; per-call records from the
-    runner are (input state (16,), direction bit, index sum)."""
+    runner are (input state (width,), direction bit, index sum)."""
 
     chained = True
 
     def __init__(self, params: Poseidon2Params, d: int = 4):
-        assert WIDTH_EXT * d == params.width
+        assert params.width % (4 * d) == 0 or params.width % d == 0
         self.params = params
         self.d = d
+        self.L = _Layout(
+            params.width, d, _sbox_registers(params.field.sbox_degree)
+        )
         self.type_id = f"poseidon2_perm/{params.field.name}_d{d}_w{params.width}"
 
     # ----- circuit/runner plugin API -----
@@ -281,10 +324,11 @@ class Poseidon2Npo:
         return Poseidon2TableAir(self.params, self.d)
 
     def _rc_block(self) -> np.ndarray:
-        """(rows_per_perm, WIDTH) round-constant pattern of one block."""
+        """(rows_per_perm, width) round-constant pattern of one block."""
+        width = self.params.width
         rpp = self.rows_per_perm
         rf2 = self.params.full_rounds // 2
-        rc = np.zeros((rpp, WIDTH), dtype=U32)
+        rc = np.zeros((rpp, width), dtype=U32)
         r = 1  # row 0 = input (no rc), row 1 = after M_E
         for e in range(rf2):
             rc[r] = self.params.rc_ext[e]
@@ -301,76 +345,78 @@ class Poseidon2Npo:
     def build_prep(self, calls, min_height: int) -> np.ndarray:
         F = self.params.field
         d = self.d
+        L = self.L
         rpp = self.rows_per_perm
         rf2 = self.params.full_rounds // 2
-        block = np.zeros((rpp, PREP_WIDTH), dtype=U32)
-        block[:, P_RC : P_RC + WIDTH] = self._rc_block()
-        block[0, P_SEL_ME] = 1
+        block = np.zeros((rpp, L.prep_width), dtype=U32)
+        block[:, : L.width] = self._rc_block()
+        block[0, L.p_sel_me] = 1
         r = 1
         for _ in range(rf2):
-            block[r, P_SEL_EXT] = 1
+            block[r, L.p_sel_ext] = 1
             r += 1
         for _ in range(self.params.partial_rounds):
-            block[r, P_SEL_INT] = 1
+            block[r, L.p_sel_int] = 1
             r += 1
         for _ in range(rf2, self.params.full_rounds):
-            block[r, P_SEL_EXT] = 1
+            block[r, L.p_sel_ext] = 1
             r += 1
         assert r == rpp - 1
         ordered = chain_order(calls)
-        prep = np.zeros((len(calls) * rpp, PREP_WIDTH), dtype=U32)
+        prep = np.zeros((len(calls) * rpp, L.prep_width), dtype=U32)
         for ci, call in enumerate(ordered):
             base = ci * rpp
             last = base + rpp - 1
             prep[base : base + rpp] = block
             for l, wid in enumerate(call.inputs):
                 if wid is not None:
-                    prep[base, P_IO_IDX + l] = wid * d
-                    prep[base, P_IO_MULT + l] = call.in_mults[l] % F.P
+                    prep[base, L.p_io_idx + l] = wid * d
+                    prep[base, L.p_io_mult + l] = call.in_mults[l] % F.P
             if call.new_start:
                 assert not call.merkle_path, "merkle rows never start chains"
                 for l, wid in enumerate(call.inputs):
                     if wid is None:
-                        prep[base, P_ZEROL + l] = 1
+                        prep[base, L.p_zerol + l] = 1
             elif call.merkle_path:
-                for i in range(RATE_EXT):
+                for i in range(L.digest_limbs):
                     assert call.inputs[i] is None, (
                         "merkle rows must not CTL the running-digest half"
                     )
-                    prep[base, P_MERKLE + i] = 1
-                prep[base, P_MACC] = 1
+                    prep[base, L.p_merkle + i] = 1
+                prep[base, L.p_macc] = 1
             else:
                 for l, wid in enumerate(call.inputs):
                     if wid is None:
-                        prep[base, P_SPONGE + l] = 1
+                        prep[base, L.p_sponge + l] = 1
             if call.merkle_path:
-                prep[base : base + rpp, P_MROW] = 1
+                prep[base : base + rpp, L.p_mrow] = 1
             for l, wid in enumerate(call.outputs):
                 if wid is not None:
-                    prep[last, P_IO_IDX + l] = wid * d
-                    prep[last, P_IO_MULT + l] = call.out_mults[l] % F.P
+                    prep[last, L.p_io_idx + l] = wid * d
+                    prep[last, L.p_io_mult + l] = call.out_mults[l] % F.P
             if call.sum_out is not None:
-                prep[last, P_SUM_IDX] = call.sum_out * d
-                prep[last, P_SUM_MULT] = call.sum_mult % F.P
+                prep[last, L.p_sum_idx] = call.sum_out * d
+                prep[last, L.p_sum_mult] = call.sum_mult % F.P
         from .batch_prover import _pad_pow2
 
         return _pad_pow2(prep, min_height)
 
     def build_main(self, calls, records, min_height: int) -> np.ndarray:
-        """records[i] = (input state (16,), bit, sum) for ordered call i."""
+        """records[i] = (input state (width,), bit, sum) for ordered call i."""
         from .batch_prover import _pad_pow2
 
         F = self.params.field
+        width = self.params.width
         n_sbox = _sbox_registers(F.sbox_degree)
         if not records:
             return np.zeros(
-                (min_height, (1 + n_sbox) * WIDTH + 2), dtype=U32
+                (min_height, (1 + n_sbox) * width + 2), dtype=U32
             )
         ordered = chain_order(calls)
         rec_by_op = {c.op_id: r for c, r in zip(calls, records)}
         recs = [rec_by_op[c.op_id] for c in ordered]
         states = np.stack([r[0] for r in recs]).astype(U32)
-        rows = permute_with_rows(self.params, states, np)  # (n, rpp, 16)
+        rows = permute_with_rows(self.params, states, np)  # (n, rpp, width)
         n_perms, rpp, w = rows.shape
         assert rpp == self.rows_per_perm
         flat = rows.reshape(n_perms * rpp, w)
@@ -391,12 +437,13 @@ class Poseidon2Npo:
 
 
 @functools.lru_cache(maxsize=None)
-def poseidon2_npo_for(field_name: str) -> Poseidon2Npo:
-    """Per-field W16/D4 NPO (reference preset family, `public_types.rs`)."""
+def poseidon2_npo_for(field_name: str, width: int = 16) -> Poseidon2Npo:
+    """Per-field/width D4 NPO (reference preset family, `public_types.rs`:
+    W16 challenger/MMCS, W24 wide sponge, W32 arity-4 compression)."""
     from ..fields import BABY_BEAR, KOALA_BEAR
 
     field = {"koala_bear": KOALA_BEAR, "baby_bear": BABY_BEAR}[field_name]
-    return Poseidon2Npo(poseidon2_params(field, WIDTH), d=4)
+    return Poseidon2Npo(poseidon2_params(field, width), d=4)
 
 
 def koala_bear_poseidon2_npo() -> Poseidon2Npo:

@@ -18,7 +18,8 @@ def plugin_from_type_id(type_id: str):
         from .poseidon2_table import poseidon2_npo_for
 
         field_name = rest.rsplit("_d", 1)[0]
-        return poseidon2_npo_for(field_name)
+        width = int(rest.rsplit("_w", 1)[1])
+        return poseidon2_npo_for(field_name, width)
     if family == "poseidon1_perm":
         from .poseidon1_table import koala_bear_poseidon1_npo
 
