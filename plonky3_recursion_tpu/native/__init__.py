@@ -75,6 +75,12 @@ def get_lib():
     ]
     lib.p3n_poseidon2_free.argtypes = [ctypes.c_void_p]
     lib.p3n_poseidon2_permute.argtypes = [ctypes.c_void_p, u32p, ctypes.c_uint64]
+    lib.p3n_poseidon2_permute_rows.argtypes = [
+        ctypes.c_void_p,
+        u32p,
+        u32p,
+        ctypes.c_uint64,
+    ]
     lib.p3n_challenger_new.restype = ctypes.c_void_p
     lib.p3n_challenger_new.argtypes = [ctypes.c_void_p]
     lib.p3n_challenger_free.argtypes = [ctypes.c_void_p]
@@ -174,6 +180,16 @@ class NativePoseidon2:
         out = np.ascontiguousarray(states, dtype=U32).copy()
         flat = out.reshape(-1, self.width)
         get_lib().p3n_poseidon2_permute(self.handle, _ptr(flat), flat.shape[0])
+        return out
+
+    def permute_rows(self, states: np.ndarray, rpp: int) -> np.ndarray:
+        """(n, w) -> (n, rpp, w) full round-state capture (the table
+        trace generator's hot loop)."""
+        flat = np.ascontiguousarray(states, dtype=U32).reshape(-1, self.width)
+        out = np.empty((flat.shape[0], rpp, self.width), dtype=U32)
+        get_lib().p3n_poseidon2_permute_rows(
+            self.handle, _ptr(flat), _ptr(out), flat.shape[0]
+        )
         return out
 
 

@@ -157,6 +157,48 @@ void p3n_poseidon2_permute(void* handle, uint32_t* states, uint64_t n) {
   }
 }
 
+void p3n_poseidon2_permute_rows(void* handle, const uint32_t* states,
+                                uint32_t* out, uint64_t n) {
+  // out: (n, 2 + rf + rp, w) — row 0 raw input, row 1 after the initial
+  // external layer, then one row per round (mirrors permute_with_rows)
+  auto* h = static_cast<P3Poseidon2*>(handle);
+  const P3Field* f = &h->f;
+  int w = h->width;
+  int rf2 = h->rf / 2;
+  int rpp = 2 + h->rf + h->rp;
+  uint32_t s[64];
+  for (uint64_t i = 0; i < n; i++) {
+    const uint32_t* in = states + i * w;
+    uint32_t* o = out + i * (uint64_t)rpp * w;
+    for (int j = 0; j < w; j++) s[j] = in[j];
+    for (int j = 0; j < w; j++) o[j] = s[j];
+    o += w;
+    ext_layer(h, s);
+    for (int j = 0; j < w; j++) o[j] = s[j];
+    o += w;
+    for (int r = 0; r < rf2; r++) {
+      for (int j = 0; j < w; j++)
+        s[j] = sbox(h, addmod(f, s[j], h->rc_ext[(size_t)r * w + j]));
+      ext_layer(h, s);
+      for (int j = 0; j < w; j++) o[j] = s[j];
+      o += w;
+    }
+    for (int r = 0; r < h->rp; r++) {
+      s[0] = sbox(h, addmod(f, s[0], h->rc_int[r]));
+      int_layer(h, s);
+      for (int j = 0; j < w; j++) o[j] = s[j];
+      o += w;
+    }
+    for (int r = rf2; r < h->rf; r++) {
+      for (int j = 0; j < w; j++)
+        s[j] = sbox(h, addmod(f, s[j], h->rc_ext[(size_t)r * w + j]));
+      ext_layer(h, s);
+      for (int j = 0; j < w; j++) o[j] = s[j];
+      o += w;
+    }
+  }
+}
+
 // ----- duplex challenger (WIDTH 16, RATE 8) -----
 
 struct P3Challenger {

@@ -54,6 +54,30 @@ def merkle_commit_fn(field: Monty31, shapes: tuple):
     return jax.jit(fn)
 
 
+def merkle_layer_heights(shapes: tuple) -> list:
+    """Digest-layer heights (leaf first) for a mixed-height commit."""
+    hs = sorted({h for h, _w in shapes}, reverse=True)
+    out = [hs[0]]
+    h = hs[0]
+    while h > 1:
+        h //= 2
+        out.append(h)
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def merkle_commit_flat_fn(field: Monty31, shapes: tuple):
+    """Like `merkle_commit_fn` but returns ONE device array: every digest
+    layer concatenated (leaf layer first) — a single host download (or
+    none: the query path gathers siblings straight off the device)."""
+    inner = merkle_commit_fn(field, shapes)
+
+    def fn(*mats):
+        return jnp.concatenate(list(inner(*mats)), axis=0)
+
+    return jax.jit(fn)
+
+
 @functools.lru_cache(maxsize=None)
 def lde_commit_fn(
     field: Monty31, log_n: int, width: int, log_blowup: int, shift: int
@@ -131,7 +155,9 @@ def round_commit_fn(field: Monty31, sig: tuple, log_blowup: int):
             if h in by_height:
                 layer = compress_pair(params, layer, rows_digest(h), jnp)
             layers.append(layer)
-        return tuple(coeffs_out), tuple(ldes), tuple(layers)
+        # digest layers concatenated: stays DEVICE-RESIDENT (queries gather
+        # siblings off the device; no bulk tree download)
+        return tuple(coeffs_out), tuple(ldes), jnp.concatenate(layers, axis=0)
 
     return jax.jit(fn)
 
@@ -233,5 +259,162 @@ def fri_fold_fn(field: Monty31, d: int, log_size: int, shift: int):
         return E.add(
             even, E.mul(odd, jnp.broadcast_to(beta, odd.shape), jnp), jnp
         )
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=None)
+def eval_points_all_fn(field: Monty31, d: int, sig: tuple):
+    """EVERY claimed opening of an `open` call in ONE device program.
+
+    sig: per committed matrix (log_n, width, z_idxs tuple).
+    fn(zs (nz, D), *coeffs) -> one (Σ widths·points, D) array — a single
+    download replaces one call + one download per (matrix, point).
+    """
+    from ..fields.extension import ext_field
+    from ..utils import ext_powers, modsum
+
+    E = ext_field(field, d)
+
+    def fn(zs, *coeffs_list):
+        pow_cache: dict = {}
+        outs = []
+        for (log_n, w, z_idxs), coeffs in zip(sig, coeffs_list):
+            n = 1 << log_n
+            for zi in z_idxs:
+                key = (zi, log_n)
+                pows = pow_cache.get(key)
+                if pows is None:
+                    pows = ext_powers(E, zs[zi], n, jnp)
+                    pow_cache[key] = pows
+                cols = []
+                for dd in range(d):
+                    pm = field.to_monty(pows[:, dd], jnp)
+                    prod = field.monty_mul(coeffs, pm[:, None], jnp)
+                    cols.append(modsum(field, prod, 0, jnp))
+                outs.append(jnp.stack(cols, axis=-1))  # (w, D)
+        return jnp.concatenate(outs, axis=0)
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=None)
+def fri_reduce_all_fn(field: Monty31, d: int, sig: tuple):
+    """Every per-height reduced-opening accumulator in ONE device program.
+
+    sig: per (matrix, point) term (log_h, width, z_idx, apow_offset),
+    heights descending overall.  fn(zs, y_reds (n_terms, D),
+    apows (total, D), *ldes) -> tuple of per-distinct-height (H, D)
+    accumulators (device-resident, feed the fold chain).
+    """
+    from ..fields.extension import ext_field
+    from ..stark.domains import domain_points
+    from ..utils import reduce_matrix_ext
+
+    E = ext_field(field, d)
+    heights = sorted({log_h for log_h, _w, _z, _o in sig}, reverse=True)
+
+    def fn(zs, y_reds, apows, *ldes):
+        acc: dict[int, object] = {}
+        xs_cache: dict = {}
+        for ti, ((log_h, w, zi, off), lde) in enumerate(zip(sig, ldes)):
+            h = 1 << log_h
+            xs = xs_cache.get(log_h)
+            if xs is None:
+                xs = jnp.asarray(
+                    domain_points(field, log_h, int(field.generator))[
+                        _bitrev_perm(h)
+                    ]
+                )
+                xs_cache[log_h] = xs
+            num_red = reduce_matrix_ext(
+                field, E, lde, apows[off : off + w], jnp
+            )
+            zx = E.sub(
+                E.from_base(xs, jnp),
+                jnp.broadcast_to(zs[zi], (h, d)),
+                jnp,
+            )
+            diff = E.sub(
+                num_red, jnp.broadcast_to(y_reds[ti], (h, d)), jnp
+            )
+            term = E.mul(diff, E.inv(zx, jnp), jnp)
+            acc[log_h] = (
+                term if log_h not in acc else E.add(acc[log_h], term, jnp)
+            )
+        return tuple(acc[lh] for lh in heights)
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=None)
+def fri_phase_fold_fn(
+    field: Monty31,
+    d: int,
+    log_size: int,
+    arity: int,
+    shift: int,
+    has_rollin: bool,
+):
+    """One FRI phase's full fold: `arity` radix-2 β-folds (β, β², …) plus
+    the optional roll-in add, fused into one device call."""
+    from ..fields.extension import ext_field
+    from ..stark.fri_pcs import _fold_consts
+
+    E = ext_field(field, d)
+    inv2 = field.monty_constant(pow(2, field.P - 2, field.P))
+    consts = []
+    s = shift
+    for t in range(arity):
+        _x, inv_2x = _fold_consts(field, log_size - t, s)
+        consts.append(inv_2x)
+        s = s * s % field.P
+
+    def fn(folded, beta, *rollin):
+        beta_t = beta
+        for t in range(arity):
+            a = folded[0::2]
+            b = folded[1::2]
+            ssum = E.add(a, b, jnp)
+            dd = E.sub(a, b, jnp)
+            even = field.monty_mul(ssum, jnp.asarray(inv2), jnp)
+            odd = E.mul_base(dd, jnp.asarray(consts[t]), jnp)
+            folded = E.add(
+                even,
+                E.mul(odd, jnp.broadcast_to(beta_t, odd.shape), jnp),
+                jnp,
+            )
+            beta_t = E.mul(beta_t, beta_t, jnp)
+        if has_rollin:
+            folded = E.add(folded, rollin[0], jnp)
+        return folded
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=None)
+def gather_rows_concat_fn(sig: tuple, n_idx: int):
+    """Batched query-row gathers for MANY matrices in ONE device program.
+
+    sig: tuple of (height, width) per matrix.  fn(idx (n_mats, n_idx),
+    *mats) -> (n_idx, Σ widths) concatenation — one download for every
+    opened row of a round."""
+
+    def fn(idx, *mats):
+        outs = []
+        for mi, ((h, w), m) in enumerate(zip(sig, mats)):
+            outs.append(m[idx[mi]])
+        return jnp.concatenate(outs, axis=1)
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=None)
+def sibling_gather_fn(n_idx: int, width: int = 8):
+    """fn(flat_layers (L, 8), idx (n_idx,)) -> (n_idx, 8): every Merkle
+    sibling digest of a tree's query set in one gather."""
+
+    def fn(flat, idx):
+        return flat[idx]
 
     return jax.jit(fn)

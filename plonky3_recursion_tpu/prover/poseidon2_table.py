@@ -416,7 +416,11 @@ class Poseidon2Npo:
         rec_by_op = {c.op_id: r for c, r in zip(calls, records)}
         recs = [rec_by_op[c.op_id] for c in ordered]
         states = np.stack([r[0] for r in recs]).astype(U32)
-        rows = permute_with_rows(self.params, states, np)  # (n, rpp, width)
+        native = self._native_perm()
+        if native is not None:
+            rows = native.permute_rows(states, self.rows_per_perm)
+        else:
+            rows = permute_with_rows(self.params, states, np)  # (n, rpp, w)
         n_perms, rpp, w = rows.shape
         assert rpp == self.rows_per_perm
         flat = rows.reshape(n_perms * rpp, w)

@@ -194,8 +194,17 @@ def prove_batch(
     from ..utils.tracing import span
 
     with span("commit_traces"):
+        # device-resident traces pass straight through (no host round-trip)
         trace_data = pcs.commit(
-            [(1, np.asarray(inst.trace, dtype=U32)) for inst in instances],
+            [
+                (
+                    1,
+                    inst.trace
+                    if not isinstance(inst.trace, np.ndarray)
+                    else np.asarray(inst.trace, dtype=U32),
+                )
+                for inst in instances
+            ],
             xp,
         )
     ch.observe_slice(trace_data.commitment)
@@ -706,7 +715,7 @@ def _perm_cols_jit(config, inst, names, challenges):
     chal = np.stack(
         [challenges[nm][j] for nm in names for j in (0, 1)]
     ).astype(U32)
-    perm, term = fn(np.asarray(inst.trace, dtype=U32), prep, chal)
+    perm, term = fn(inst.trace, prep, chal)
     return perm, np.asarray(term)  # perm stays device-resident
 
 
@@ -796,7 +805,7 @@ def _quotient_jit(config, inst, builder, shape, names, challenges, alpha, pm, te
 
     fn = quotient_fn(key, make)
     prep = (
-        np.asarray(inst.preprocessed, dtype=U32)
+        inst.preprocessed
         if inst.preprocessed is not None
         else np.zeros((n, 0), dtype=U32)
     )
@@ -816,7 +825,7 @@ def _quotient_jit(config, inst, builder, shape, names, challenges, alpha, pm, te
     # committed) on device, so downloading here would round-trip ~MBs per
     # instance through the interconnect for nothing
     return fn(
-        np.asarray(inst.trace, dtype=U32),
+        inst.trace,
         prep,
         perm_flat,
         pubs,

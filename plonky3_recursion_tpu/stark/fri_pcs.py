@@ -212,20 +212,26 @@ class TwoAdicFriPcs:
             )
             return PcsProverData(committed, tree, np.asarray(layers[-1][0]))
         if self.use_jit and not self.hiding_salt_cols:
-            from ..ops.jitk import round_commit_fn
+            from ..ops.jitk import merkle_layer_heights, round_commit_fn
 
             sig = tuple(
                 (int(shift), evals.shape[0].bit_length() - 1, evals.shape[1])
                 for shift, evals in mats
             )
             fn = round_commit_fn(F, sig, self.params.log_blowup)
-            coeffs_t, ldes_t, layers_t = fn(*[e for _s, e in mats])
+            coeffs_t, ldes_t, flat = fn(*[e for _s, e in mats])
             for (shift, log_n, w), coeffs in zip(sig, coeffs_t):
                 # coeffs stay device-resident; eval_at_point consumes them
                 committed.append(CommittedMatrix(shift, log_n, w, coeffs))
-            layers = [np.asarray(l) for l in layers_t]
-            tree = MerkleTree(matrices=list(ldes_t), layers=layers)
-            return PcsProverData(committed, tree, np.asarray(layers[-1][0]))
+            lb = self.params.log_blowup
+            tree = MerkleTree(
+                matrices=list(ldes_t),
+                dev_flat=flat,
+                layer_heights=merkle_layer_heights(
+                    tuple((1 << (ln + lb), w) for _s, ln, w in sig)
+                ),
+            )
+            return PcsProverData(committed, tree, tree.root)
         for shift, evals in mats:
             n, w = evals.shape
             log_n = n.bit_length() - 1
@@ -513,25 +519,64 @@ class TwoAdicFriPcs:
         )
 
     def _open_jit(self, rounds, challenger: DuplexChallenger):
-        """Device-resident open: LDEs/coeffs stay on device, one fused call
-        per reduction/fold, and query rows gathered in batches — minimizes
-        host<->device round-trips (critical through the TPU tunnel)."""
+        """Device-resident open with whole-stage fusion: ONE device call
+        (and one download) for all claimed evaluations, ONE for all
+        reduced-opening accumulators, one commit + one fused multi-fold
+        call per FRI phase, one gather per round's query rows, and one
+        sibling gather per tree — the Fiat-Shamir transcript is the only
+        host-side sequencing left (critical through the TPU tunnel)."""
         import jax.numpy as jnp
 
-        from ..ops.jitk import fri_fold_fn, fri_reduce_fn, gather_rows_fn
+        from ..ops.jitk import (
+            eval_points_all_fn,
+            fri_phase_fold_fn,
+            fri_reduce_all_fn,
+            gather_rows_concat_fn,
+            sibling_gather_fn,
+        )
         from ..utils.tracing import span
 
         F, E, P = self.F, self.E, self.params
-        # 1. claimed evaluations (device eval, tiny downloads), observed
-        opened = []
+
+        # 1. claimed evaluations: one fused call, one download
+        zs_list: list = []
+        z_index: dict = {}
+
+        def z_of(z):
+            key = tuple(int(x) for x in np.asarray(z))
+            if key not in z_index:
+                z_index[key] = len(zs_list)
+                zs_list.append(np.asarray(z, dtype=U32))
+            return z_index[key]
+
+        esig = []
+        eargs = []
+        for data, points in rounds:
+            for mat, pts in zip(data.matrices, points):
+                esig.append(
+                    (mat.log_n, mat.width, tuple(z_of(z) for z in pts))
+                )
+                eargs.append(mat.coeffs)
+        zs = (
+            np.stack(zs_list)
+            if zs_list
+            else np.zeros((1, E.D), dtype=U32)
+        )
         with span("open.eval_at_points"):
-            for data, points in rounds:
-                round_vals = []
-                for mat, pts in zip(data.matrices, points):
-                    round_vals.append(
-                        [np.asarray(self.eval_at_point(mat, z)) for z in pts]
-                    )
-                opened.append(round_vals)
+            flat_evals = np.asarray(
+                eval_points_all_fn(F, E.D, tuple(esig))(zs, *eargs)
+            )
+        opened = []
+        pos = 0
+        for data, points in rounds:
+            round_vals = []
+            for mat, pts in zip(data.matrices, points):
+                vals = []
+                for _z in pts:
+                    vals.append(flat_evals[pos : pos + mat.width])
+                    pos += mat.width
+                round_vals.append(vals)
+            opened.append(round_vals)
         for rv in opened:
             for mv in rv:
                 for pv in mv:
@@ -542,34 +587,38 @@ class TwoAdicFriPcs:
             for data, points in rounds
             for mat, pts in zip(data.matrices, points)
         )
-        alpha_pows = np.asarray(ext_powers(E, np.asarray(alpha), total_cols, np))
-        # 3. per-height reduced openings, accumulated on device
-        acc: dict[int, object] = {}
+        alpha_pows = np.asarray(
+            ext_powers(E, np.asarray(alpha), total_cols, np)
+        )
+
+        # 3. per-height reduced openings: one fused call, stays on device
+        rsig = []
+        rargs = []
+        y_reds = []
         k = 0
+        for (data, points), round_vals in zip(rounds, opened):
+            for mi, (mat, pts, mat_vals) in enumerate(
+                zip(data.matrices, points, round_vals)
+            ):
+                log_h = mat.log_n + P.log_blowup
+                lde = data.tree.matrices[mi]
+                for z, y in zip(pts, mat_vals):
+                    apow = alpha_pows[k : k + mat.width]
+                    y_reds.append(_reduce_vec_ext(F, E, np.asarray(y), apow))
+                    rsig.append((log_h, mat.width, z_of(z), k))
+                    rargs.append(lde)
+                    k += mat.width
         with span("open.reduce"):
-            for (data, points), round_vals in zip(rounds, opened):
-                for mi, (mat, pts, mat_vals) in enumerate(
-                    zip(data.matrices, points, round_vals)
-                ):
-                    log_h = mat.log_n + P.log_blowup
-                    lde = data.tree.matrices[mi]  # device-resident
-                    for z, y in zip(pts, mat_vals):
-                        apow = alpha_pows[k : k + mat.width]
-                        y_red = _reduce_vec_ext(F, E, np.asarray(y), apow)
-                        fn = fri_reduce_fn(F, E.D, log_h, mat.width)
-                        term = fn(
-                            lde,
-                            np.asarray(z, dtype=U32),
-                            np.asarray(y_red, dtype=U32),
-                            np.asarray(apow, dtype=U32),
-                        )
-                        acc[log_h] = (
-                            term
-                            if log_h not in acc
-                            else E.add(acc[log_h], term, jnp)
-                        )
-                        k += mat.width
-        # 4. commit phase (folded stays on device; variable arity)
+            accs = fri_reduce_all_fn(F, E.D, tuple(rsig))(
+                zs,
+                np.stack(y_reds).astype(U32),
+                alpha_pows,
+                *rargs,
+            )
+        heights_desc = sorted({lh for lh, _w, _z, _o in rsig}, reverse=True)
+        acc = dict(zip(heights_desc, accs))
+
+        # 4. commit phase: one commit + one fused multi-fold per phase
         log_max = max(acc)
         log_final = P.log_final_poly_len + P.log_blowup
         assert min(acc) >= log_final, (
@@ -594,18 +643,17 @@ class TwoAdicFriPcs:
                 if P.commit_pow_bits:
                     commit_pows.append(challenger.grind(P.commit_pow_bits))
                 beta = challenger.sample_ext(E)
-                beta_t = np.asarray(beta, dtype=U32)
-                sub_shift = shift
-                for t in range(a):
-                    folded = self._fold_once(
-                        folded, beta_t, log_size - t, sub_shift, jnp
-                    )
-                    beta_t = E.mul(beta_t, beta_t, np)
-                    sub_shift = sub_shift * sub_shift % F.P
-                shift = sub_shift
+                has_rollin = (log_size - a) in acc
+                fold = fri_phase_fold_fn(
+                    F, E.D, log_size, a, int(shift), has_rollin
+                )
+                args = (folded, np.asarray(beta, dtype=U32))
+                if has_rollin:
+                    args = args + (acc[log_size - a],)
+                folded = fold(*args)
+                for _t in range(a):
+                    shift = shift * shift % F.P
                 log_size -= a
-                if log_size in acc:
-                    folded = E.add(folded, acc[log_size], jnp)
         # final polynomial (tiny: download + host interpolation)
         folded_np = np.asarray(folded)
         final_evals = bit_reverse_rows(folded_np, np)
@@ -623,71 +671,119 @@ class TwoAdicFriPcs:
         challenger.observe_slice(final_coeffs)
         with span("open.grind"):
             pow_witness = (
-                challenger.grind(P.query_pow_bits) if P.query_pow_bits else 0
+                challenger.grind(P.query_pow_bits)
+                if P.query_pow_bits
+                else 0
             )
-        # 6. queries: sample all indices, then batch every gather
+        # 6. queries: one fused row gather per round (+ one for all
+        # phases), one sibling gather per tree
         nq = P.num_queries
         indices = [challenger.sample_bits(log_max) for _ in range(nq)]
         round_log_max = [
             max(m.log_n + P.log_blowup for m in data.matrices)
             for data, _p in rounds
         ]
-        # batched row gathers per (round, matrix)
-        input_rows = []  # [ri][mi] -> (nq, w) np  (includes salt matrices)
+        input_rows = []  # [ri][mi] -> (nq, w) np
         with span("open.query_gathers"):
             for (data, _pts), rlm in zip(rounds, round_log_max):
+                mats = data.tree.matrices
+                gsig = tuple((m.shape[0], m.shape[1]) for m in mats)
+                idx = np.stack(
+                    [
+                        np.asarray(
+                            [
+                                i >> (log_max - (m.shape[0].bit_length() - 1))
+                                for i in indices
+                            ],
+                            dtype=np.int32,
+                        )
+                        for m in mats
+                    ]
+                )
+                cat = np.asarray(
+                    gather_rows_concat_fn(gsig, nq)(idx, *mats)
+                )
                 per_mat = []
-                for mi, dev in enumerate(data.tree.matrices):
-                    log_h = dev.shape[0].bit_length() - 1
-                    scaled = np.asarray(
-                        [i >> (log_max - log_h) for i in indices],
-                        dtype=np.int32,
-                    )
-                    fn = gather_rows_fn(dev.shape[0], dev.shape[1], nq)
-                    per_mat.append(np.asarray(fn(dev, scaled)))
+                off = 0
+                for _h, w in gsig:
+                    per_mat.append(cat[:, off : off + w])
+                    off += w
                 input_rows.append(per_mat)
-        phase_rows = []  # [ph] -> (nq, 2^a·D) np
         offsets = []
         off = 0
         for a in schedule:
             offsets.append(off)
             off += a
         with span("open.phase_gathers"):
-            for ph, (tree, a) in enumerate(zip(commit_trees, schedule)):
-                row_idx = np.asarray(
-                    [i >> (offsets[ph] + a) for i in indices], dtype=np.int32
+            ph_mats = [t.matrices[0] for t in commit_trees]
+            gsig = tuple((m.shape[0], m.shape[1]) for m in ph_mats)
+            idx = np.stack(
+                [
+                    np.asarray(
+                        [i >> (offsets[ph] + a) for i in indices],
+                        dtype=np.int32,
+                    )
+                    for ph, a in enumerate(schedule)
+                ]
+            )
+            cat = np.asarray(
+                gather_rows_concat_fn(gsig, nq)(idx, *ph_mats)
+            )
+            phase_rows = []
+            off = 0
+            for _h, w in gsig:
+                phase_rows.append(cat[:, off : off + w])
+                off += w
+
+        def tree_siblings(tree, node_indices, levels):
+            """(nq, levels, 8) sibling digests via one device gather."""
+            if levels == 0:
+                return np.zeros((len(node_indices), 0, 8), dtype=U32)
+            offs = tree.layer_offsets()
+            flat_idx = []
+            for idx0 in node_indices:
+                i = idx0
+                for l in range(levels):
+                    flat_idx.append(offs[l] + (i ^ 1))
+                    i >>= 1
+            got = np.asarray(
+                sibling_gather_fn(len(flat_idx))(
+                    tree.dev_flat, np.asarray(flat_idx, dtype=np.int32)
                 )
-                dev = tree.matrices[0]
-                fn = gather_rows_fn(dev.shape[0], dev.shape[1], nq)
-                phase_rows.append(np.asarray(fn(dev, row_idx)))
+            )
+            return got.reshape(len(node_indices), levels, 8)
 
-        def siblings_of(layers, index, levels):
-            sibs = []
-            idx = index
-            for level in range(levels):
-                sibs.append(np.asarray(layers[level][idx ^ 1]))
-                idx >>= 1
-            return sibs
-
+        with span("open.sibling_gathers"):
+            round_sibs = []
+            for (data, _pts), rlm in zip(rounds, round_log_max):
+                node_idx = [i >> (log_max - rlm) for i in indices]
+                round_sibs.append(
+                    tree_siblings(data.tree, node_idx, rlm)
+                )
+            phase_sibs = []
+            for ph, a in enumerate(schedule):
+                levels = log_max - offsets[ph] - a
+                node_idx = [i >> (offsets[ph] + a) for i in indices]
+                phase_sibs.append(
+                    tree_siblings(commit_trees[ph], node_idx, levels)
+                )
         query_proofs = []
         for q, index in enumerate(indices):
             input_openings = []
             for ri, ((data, _pts), rlm) in enumerate(
                 zip(rounds, round_log_max)
             ):
-                ridx = index >> (log_max - rlm)
                 opened_rows = [
                     input_rows[ri][mi][q]
                     for mi in range(len(data.tree.matrices))
                 ]
-                sibs = siblings_of(data.tree.layers, ridx, rlm)
+                sibs = list(round_sibs[ri][q])
                 input_openings.append((opened_rows, sibs))
             commit_steps = []
             for ph, a in enumerate(schedule):
-                row_idx = index >> (offsets[ph] + a)
-                levels = log_max - offsets[ph] - a
-                sibs = siblings_of(commit_trees[ph].layers, row_idx, levels)
-                commit_steps.append((phase_rows[ph][q], sibs))
+                commit_steps.append(
+                    (phase_rows[ph][q], list(phase_sibs[ph][q]))
+                )
             query_proofs.append(QueryProof(input_openings, commit_steps))
         proof = FriProof(
             commit_digests,
@@ -697,6 +793,7 @@ class TwoAdicFriPcs:
             query_proofs,
         )
         return opened, proof
+
 
     # ----- verify -----
 

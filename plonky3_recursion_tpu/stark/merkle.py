@@ -36,14 +36,41 @@ RATE = 8
 
 @dataclasses.dataclass
 class MerkleTree:
-    """Prover data: committed matrices + all digest layers (host numpy)."""
+    """Prover data: committed matrices + all digest layers.
+
+    Device mode (`dev_flat` set): every digest layer concatenated into ONE
+    device array (leaf layer first) — siblings are gathered off the device
+    at query time, so the tree is never bulk-downloaded.  Host mode keeps
+    the per-layer numpy list."""
 
     matrices: list  # list[(H_i, W_i) canonical u32], arbitrary order
-    layers: list  # digest layers, layers[0] is the leaf layer (H, 8)
+    layers: list | None = None  # host digest layers, [0] = leaf (H, 8)
+    dev_flat: object = None  # device (Σ layer heights, 8)
+    layer_heights: list | None = None  # per layer, leaf first
 
     @property
     def root(self) -> np.ndarray:
-        return np.asarray(self.layers[-1][0])
+        if self.layers is not None:
+            return np.asarray(self.layers[-1][0])
+        return np.asarray(self.dev_flat[sum(self.layer_heights[:-1])])
+
+    def host_layers(self) -> list:
+        """Materialize per-layer host arrays (one download, cached)."""
+        if self.layers is None:
+            flat = np.asarray(self.dev_flat)
+            ls, off = [], 0
+            for h in self.layer_heights:
+                ls.append(flat[off : off + h])
+                off += h
+            self.layers = ls
+        return self.layers
+
+    def layer_offsets(self) -> list:
+        offs, off = [], 0
+        for h in self.layer_heights:
+            offs.append(off)
+            off += h
+        return offs
 
 
 class MerkleMmcs:
@@ -68,15 +95,19 @@ class MerkleMmcs:
         for h in heights:
             assert h & (h - 1) == 0, "heights must be powers of two"
         if self.use_jit:
-            from ..ops.jitk import merkle_commit_fn
+            from ..ops.jitk import merkle_commit_flat_fn, merkle_layer_heights
 
             shapes = tuple((m.shape[0], m.shape[1]) for m in matrices)
-            fn = merkle_commit_fn(self.field, shapes)
-            layers = [np.asarray(l) for l in fn(*matrices)]
+            fn = merkle_commit_flat_fn(self.field, shapes)
             # matrices kept as given (possibly device-resident) for
-            # batched query-row gathers later
-            tree = MerkleTree(matrices=list(matrices), layers=layers)
-            return np.asarray(layers[-1][0]), tree
+            # batched query-row gathers later; digest layers stay on
+            # device as one flat array (siblings gathered at query time)
+            tree = MerkleTree(
+                matrices=list(matrices),
+                dev_flat=fn(*matrices),
+                layer_heights=merkle_layer_heights(shapes),
+            )
+            return tree.root, tree
         by_height: dict[int, list] = {}
         for m in matrices:
             by_height.setdefault(m.shape[0], []).append(m)
@@ -105,8 +136,9 @@ class MerkleMmcs:
             opened.append(np.asarray(m[index >> (log_max - (h.bit_length() - 1))]))
         siblings = []
         idx = index
+        layers = tree.host_layers()
         for level in range(log_max):
-            sib = np.asarray(tree.layers[level][idx ^ 1])
+            sib = np.asarray(layers[level][idx ^ 1])
             siblings.append(sib)
             idx >>= 1
         return opened, siblings

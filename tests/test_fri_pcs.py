@@ -10,6 +10,9 @@ from plonky3_recursion_tpu.fields import BABY_BEAR, KOALA_BEAR, ext_field
 from plonky3_recursion_tpu.stark.challenger import DuplexChallenger
 from plonky3_recursion_tpu.stark.fri_pcs import FriParams, TwoAdicFriPcs
 
+F = KOALA_BEAR
+E4 = ext_field(KOALA_BEAR, 4)
+
 
 def make_pcs(F, D=4, params=None):
     E = ext_field(F, D)
@@ -242,3 +245,46 @@ def test_matrix_below_final_fold_height_rejected(rng):
     ]
     with pytest.raises(ValueError, match="below FRI minimum"):
         pcs.verify(rv, proof, DuplexChallenger(F))
+
+
+def test_jit_open_bit_identical_to_host():
+    """The fused device open path (one call per stage) produces the SAME
+    proof bytes as the host path."""
+    from plonky3_recursion_tpu.circuit import CircuitBuilder
+    from plonky3_recursion_tpu.prover import (
+        BatchStarkProver,
+        circuit_prover_data,
+    )
+    from plonky3_recursion_tpu.stark.uni import koala_bear_config
+    from plonky3_recursion_tpu.utils.serde import batch_proof_to_bytes
+
+    def run(use_jit):
+        params = FriParams(
+            log_blowup=2,
+            log_final_poly_len=1,
+            num_queries=5,
+            commit_pow_bits=1,
+            query_pow_bits=2,
+            max_log_arity=2,
+        )
+        config = koala_bear_config(params, use_jit=use_jit)
+        b = CircuitBuilder(E4)
+        a = b.public_input()
+        bb = b.public_input()
+        res = b.public_input()
+        for _ in range(48):
+            a, bb = bb, b.add(a, bb)
+        b.connect(bb, res)
+        circuit = b.build()
+        pdata = circuit_prover_data(config, circuit)
+        x, y = 0, 1
+        for _ in range(48):
+            x, y = y, (x + y) % F.P
+        r = circuit.runner()
+        r.set_public_inputs([0, 1, y])
+        prover = BatchStarkProver(config)
+        proof = prover.prove_all_tables(circuit, r.run(), pdata)
+        assert prover.verify_all_tables(circuit, proof, pdata)
+        return batch_proof_to_bytes(proof.batch)
+
+    assert run(False) == run(True)
