@@ -81,6 +81,14 @@ def get_lib():
         u32p,
         ctypes.c_uint64,
     ]
+    lib.p3n_poseidon2_table_rows.argtypes = [
+        ctypes.c_void_p,
+        u32p,
+        u32p,
+        ctypes.c_int,
+        u32p,
+        ctypes.c_uint64,
+    ]
     lib.p3n_challenger_new.restype = ctypes.c_void_p
     lib.p3n_challenger_new.argtypes = [ctypes.c_void_p]
     lib.p3n_challenger_free.argtypes = [ctypes.c_void_p]
@@ -180,6 +188,23 @@ class NativePoseidon2:
         out = np.ascontiguousarray(states, dtype=U32).copy()
         flat = out.reshape(-1, self.width)
         get_lib().p3n_poseidon2_permute(self.handle, _ptr(flat), flat.shape[0])
+        return out
+
+    def table_rows(
+        self, states: np.ndarray, rc_block: np.ndarray, n_sbox: int
+    ) -> np.ndarray:
+        """(n, w) -> (n, rpp, (1+n_sbox)*w): state + committed S-box
+        register columns per table row (the full main-block generator)."""
+        flat = np.ascontiguousarray(states, dtype=U32).reshape(-1, self.width)
+        rc = np.ascontiguousarray(rc_block, dtype=U32)
+        rpp = rc.shape[0]
+        out = np.empty(
+            (flat.shape[0], rpp, (1 + n_sbox) * self.width), dtype=U32
+        )
+        get_lib().p3n_poseidon2_table_rows(
+            self.handle, _ptr(flat), _ptr(rc), n_sbox, _ptr(out),
+            flat.shape[0],
+        )
         return out
 
     def permute_rows(self, states: np.ndarray, rpp: int) -> np.ndarray:

@@ -199,6 +199,61 @@ void p3n_poseidon2_permute_rows(void* handle, const uint32_t* states,
   }
 }
 
+void p3n_poseidon2_table_rows(void* handle, const uint32_t* states,
+                              const uint32_t* rc_block, int n_sbox,
+                              uint32_t* out, uint64_t n) {
+  // out: (n, rpp, (1+n_sbox)*w) — per row: state | sbox register blocks
+  // (cube, and for x^7 the second register cube^2*t), matching the
+  // Poseidon2 table AIR's committed columns.
+  auto* h = static_cast<P3Poseidon2*>(handle);
+  const P3Field* f = &h->f;
+  int w = h->width;
+  int rf2 = h->rf / 2;
+  int rpp = 2 + h->rf + h->rp;
+  int mw = (1 + n_sbox) * w;
+  uint32_t s[64];
+  for (uint64_t i = 0; i < n; i++) {
+    const uint32_t* in = states + i * w;
+    uint32_t* base = out + i * (uint64_t)rpp * mw;
+    for (int j = 0; j < w; j++) s[j] = in[j];
+    int row = 0;
+    auto emit = [&](void) {
+      uint32_t* o = base + (uint64_t)row * mw;
+      const uint32_t* rc = rc_block + (size_t)row * w;
+      for (int j = 0; j < w; j++) {
+        o[j] = s[j];
+        uint32_t t = addmod(f, s[j], rc[j]);
+        uint32_t t2 = mulmod(f, t, t);
+        uint32_t c = mulmod(f, t2, t);
+        o[w + j] = c;
+        if (n_sbox == 2)
+          o[2 * w + j] = mulmod(f, mulmod(f, c, c), t);
+      }
+      row++;
+    };
+    emit();
+    ext_layer(h, s);
+    emit();
+    for (int r = 0; r < rf2; r++) {
+      for (int j = 0; j < w; j++)
+        s[j] = sbox(h, addmod(f, s[j], h->rc_ext[(size_t)r * w + j]));
+      ext_layer(h, s);
+      emit();
+    }
+    for (int r = 0; r < h->rp; r++) {
+      s[0] = sbox(h, addmod(f, s[0], h->rc_int[r]));
+      int_layer(h, s);
+      emit();
+    }
+    for (int r = rf2; r < h->rf; r++) {
+      for (int j = 0; j < w; j++)
+        s[j] = sbox(h, addmod(f, s[j], h->rc_ext[(size_t)r * w + j]));
+      ext_layer(h, s);
+      emit();
+    }
+  }
+}
+
 // ----- duplex challenger (WIDTH 16, RATE 8) -----
 
 struct P3Challenger {

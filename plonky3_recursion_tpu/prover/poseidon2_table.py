@@ -416,28 +416,30 @@ class Poseidon2Npo:
         rec_by_op = {c.op_id: r for c, r in zip(calls, records)}
         recs = [rec_by_op[c.op_id] for c in ordered]
         states = np.stack([r[0] for r in recs]).astype(U32)
+        rpp = self.rows_per_perm
+        n_perms = states.shape[0]
         native = self._native_perm()
         if native is not None:
-            rows = native.permute_rows(states, self.rows_per_perm)
+            # one C++ pass emits state + S-box register columns directly
+            body = native.table_rows(states, self._rc_block(), n_sbox)
+            body = body.reshape(n_perms * rpp, (1 + n_sbox) * width)
         else:
             rows = permute_with_rows(self.params, states, np)  # (n, rpp, w)
-        n_perms, rpp, w = rows.shape
-        assert rpp == self.rows_per_perm
-        flat = rows.reshape(n_perms * rpp, w)
-        rc = np.tile(self._rc_block(), (n_perms, 1))
-        t = F.add(flat, rc, np)
-        cube = F.mul(F.mul(t, t, np), t, np)
-        if n_sbox == 1:
-            sbox_blocks = [cube]
-        else:
-            sbox_blocks = [cube, F.mul(F.mul(cube, cube, np), t, np)]
+            assert rows.shape[1] == rpp
+            flat = rows.reshape(n_perms * rpp, width)
+            rc = np.tile(self._rc_block(), (n_perms, 1))
+            t = F.add(flat, rc, np)
+            cube = F.mul(F.mul(t, t, np), t, np)
+            if n_sbox == 1:
+                sbox_blocks = [cube]
+            else:
+                sbox_blocks = [cube, F.mul(F.mul(cube, cube, np), t, np)]
+            body = np.concatenate([flat] + sbox_blocks, axis=1)
         extra = np.zeros((n_perms * rpp, 2), dtype=U32)
-        for i, r in enumerate(recs):
-            extra[i * rpp, 0] = r[1]  # B on block row 0
-            extra[i * rpp : (i + 1) * rpp, 1] = r[2] % F.P  # S full block
-        return _pad_pow2(
-            np.concatenate([flat] + sbox_blocks + [extra], axis=1), min_height
-        )
+        extra[::rpp, 0] = np.asarray([r[1] for r in recs], dtype=U32)
+        sums = np.asarray([int(r[2]) % F.P for r in recs], dtype=U32)
+        extra[:, 1] = np.repeat(sums, rpp)
+        return _pad_pow2(np.concatenate([body, extra], axis=1), min_height)
 
 
 @functools.lru_cache(maxsize=None)

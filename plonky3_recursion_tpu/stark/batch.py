@@ -246,14 +246,22 @@ def prove_batch(
             "sels": {},
         }
         if pcs.use_jit:
-            perm, term = _perm_cols_jit(config, inst, names, challenges)
-            perm_mats.append((i, perm))  # device-resident
-        else:
-            perm, term = generate_perm_columns(
-                F, E, inst.lookups, tb, n, challenges, xp
-            )
-            perm_mats.append((i, np.asarray(perm)))
+            continue  # jit instances run in one fused call below
+        perm, term = generate_perm_columns(
+            F, E, inst.lookups, tb, n, challenges, xp
+        )
+        perm_mats.append((i, np.asarray(perm)))
         terminals.append((i, np.asarray(term)))
+    if pcs.use_jit:
+        # ONE device program for EVERY instance's permutation columns
+        with_lk = [
+            (i, inst) for i, inst in enumerate(instances) if inst.lookups
+        ]
+        for (i, _inst), (perm, term) in zip(
+            with_lk, _perm_cols_all_jit(config, with_lk, names, challenges)
+        ):
+            perm_mats.append((i, perm))  # device-resident
+            terminals.append((i, np.asarray(term)))
     _perm_span.__exit__(None, None, None)
     if debug_lookups and terminals:
         check_lookups_balance([t for _i, t in terminals], E)
@@ -665,58 +673,79 @@ def _recompose_rows(E, flat_opened: np.ndarray, num_cols: int) -> np.ndarray:
     return out
 
 
-def _perm_cols_jit(config, inst, names, challenges):
-    """Device permutation-column generation, compiled per instance shape."""
+def _perm_cols_all_jit(config, with_lk, names, challenges):
+    """Every instance's permutation columns + terminal in ONE compiled
+    device program (cached per batch shape signature)."""
     import jax.numpy as jnp
 
     from ..ops.jitk import perm_cols_fn
 
     F, E = config.field, config.ext
-    n, w = inst.trace.shape
-    wp = inst.preprocessed.shape[1] if inst.preprocessed is not None else 0
-    lookups = inst.lookups
-    key = ("perm", inst.air.cache_key(), n, w, wp, tuple(names))
+    shapes = []
+    for _i, inst in with_lk:
+        n, w = inst.trace.shape
+        wp = (
+            inst.preprocessed.shape[1]
+            if inst.preprocessed is not None
+            else 0
+        )
+        shapes.append((n, w, wp, inst.air.cache_key(), inst.lookups))
+    key = (
+        "perm_all",
+        tuple((n, w, wp, ck) for n, w, wp, ck, _l in shapes),
+        tuple(names),
+    )
 
     def make():
-        def fn(trace, prep, chal):
-            tb = {
-                "main": {
-                    0: ("base", trace),
-                    1: ("base", jnp.roll(trace, -1, axis=0)),
-                },
-                "preprocessed": {
-                    0: ("base", prep),
-                    1: ("base", jnp.roll(prep, -1, axis=0)),
-                }
-                if wp
-                else {},
-                "perm": {},
-                "publics": [],
-                "challenges": [],
-                "terminals": [],
-                "sels": {},
-            }
+        def fn(chal, *args):
             chal_map = {
                 nm: (chal[2 * k], chal[2 * k + 1])
                 for k, nm in enumerate(names)
             }
-            return generate_perm_columns(
-                F, E, lookups, tb, n, chal_map, jnp
-            )
+            outs = []
+            for (n, _w, wp, _ck, lookups), trace, prep in zip(
+                shapes, args[::2], args[1::2]
+            ):
+                tb = {
+                    "main": {
+                        0: ("base", trace),
+                        1: ("base", jnp.roll(trace, -1, axis=0)),
+                    },
+                    "preprocessed": {
+                        0: ("base", prep),
+                        1: ("base", jnp.roll(prep, -1, axis=0)),
+                    }
+                    if wp
+                    else {},
+                    "perm": {},
+                    "publics": [],
+                    "challenges": [],
+                    "terminals": [],
+                    "sels": {},
+                }
+                outs.append(
+                    generate_perm_columns(
+                        F, E, lookups, tb, n, chal_map, jnp
+                    )
+                )
+            return tuple(outs)
 
         return fn
 
     fn = perm_cols_fn(key, make)
-    prep = (
-        inst.preprocessed
-        if inst.preprocessed is not None
-        else np.zeros((n, 0), dtype=U32)
-    )
     chal = np.stack(
         [challenges[nm][j] for nm in names for j in (0, 1)]
     ).astype(U32)
-    perm, term = fn(inst.trace, prep, chal)
-    return perm, np.asarray(term)  # perm stays device-resident
+    args = []
+    for _i, inst in with_lk:
+        n = inst.trace.shape[0]
+        prep = (
+            inst.preprocessed
+            if inst.preprocessed is not None
+            else np.zeros((n, 0), dtype=U32)
+        )
+        args.extend([inst.trace, prep])
+    return fn(chal, *args)
 
 
 def _quotient_jit(config, inst, builder, shape, names, challenges, alpha, pm, term):
