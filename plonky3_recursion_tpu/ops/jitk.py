@@ -418,3 +418,18 @@ def sibling_gather_fn(n_idx: int, width: int = 8):
         return flat[idx]
 
     return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=None)
+def sibling_gather_all_fn(counts: tuple):
+    """Every tree's sibling gathers in ONE device call: fn(idx0, flat0,
+    idx1, flat1, ...) -> (Σ counts, 8) concatenation (one download)."""
+
+    def fn(*args):
+        outs = []
+        for i in range(0, len(args), 2):
+            idx, flat = args[i], args[i + 1]
+            outs.append(flat[idx])
+        return jnp.concatenate(outs, axis=0)
+
+    return jax.jit(fn)

@@ -532,7 +532,7 @@ class TwoAdicFriPcs:
             fri_phase_fold_fn,
             fri_reduce_all_fn,
             gather_rows_concat_fn,
-            sibling_gather_fn,
+            sibling_gather_all_fn,
         )
         from ..utils.tracing import span
 
@@ -735,10 +735,7 @@ class TwoAdicFriPcs:
                 phase_rows.append(cat[:, off : off + w])
                 off += w
 
-        def tree_siblings(tree, node_indices, levels):
-            """(nq, levels, 8) sibling digests via one device gather."""
-            if levels == 0:
-                return np.zeros((len(node_indices), 0, 8), dtype=U32)
+        def tree_sib_indices(tree, node_indices, levels):
             offs = tree.layer_offsets()
             flat_idx = []
             for idx0 in node_indices:
@@ -746,27 +743,50 @@ class TwoAdicFriPcs:
                 for l in range(levels):
                     flat_idx.append(offs[l] + (i ^ 1))
                     i >>= 1
-            got = np.asarray(
-                sibling_gather_fn(len(flat_idx))(
-                    tree.dev_flat, np.asarray(flat_idx, dtype=np.int32)
-                )
-            )
-            return got.reshape(len(node_indices), levels, 8)
+            return np.asarray(flat_idx, dtype=np.int32)
 
         with span("open.sibling_gathers"):
-            round_sibs = []
+            # EVERY tree's sibling digests in one device call + download
+            jobs = []  # (tree, levels)
             for (data, _pts), rlm in zip(rounds, round_log_max):
                 node_idx = [i >> (log_max - rlm) for i in indices]
-                round_sibs.append(
-                    tree_siblings(data.tree, node_idx, rlm)
-                )
-            phase_sibs = []
+                jobs.append((data.tree, rlm, node_idx))
             for ph, a in enumerate(schedule):
                 levels = log_max - offsets[ph] - a
                 node_idx = [i >> (offsets[ph] + a) for i in indices]
-                phase_sibs.append(
-                    tree_siblings(commit_trees[ph], node_idx, levels)
+                jobs.append((commit_trees[ph], levels, node_idx))
+            args = []
+            counts = []
+            for tree, levels, node_idx in jobs:
+                if levels == 0:
+                    continue
+                idx = tree_sib_indices(tree, node_idx, levels)
+                args.extend([idx, tree.dev_flat])
+                counts.append(idx.shape[0])
+            cat = (
+                np.asarray(
+                    sibling_gather_all_fn(tuple(counts))(*args)
                 )
+                if counts
+                else np.zeros((0, 8), dtype=U32)
+            )
+            per_tree = []
+            off = 0
+            ci = 0
+            for tree, levels, node_idx in jobs:
+                if levels == 0:
+                    per_tree.append(
+                        np.zeros((nq, 0, 8), dtype=U32)
+                    )
+                    continue
+                cnt = counts[ci]
+                ci += 1
+                per_tree.append(
+                    cat[off : off + cnt].reshape(nq, levels, 8)
+                )
+                off += cnt
+            round_sibs = per_tree[: len(rounds)]
+            phase_sibs = per_tree[len(rounds) :]
         query_proofs = []
         for q, index in enumerate(indices):
             input_openings = []
