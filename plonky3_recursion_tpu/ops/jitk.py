@@ -433,3 +433,132 @@ def sibling_gather_all_fn(counts: tuple):
         return jnp.concatenate(outs, axis=0)
 
     return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=None)
+def fri_phase_chain_fn(
+    field: Monty31,
+    d: int,
+    log_max: int,
+    schedule: tuple,
+    rollin_flags: tuple,
+    start_shift: int,
+):
+    """The ENTIRE FRI commit phase as one device program, transcript
+    included: per phase, Merkle-commit the folded codeword, absorb the
+    root into the duplex state (overwrite + permute — exactly the host
+    DuplexChallenger discipline), sample β from the permuted rate, run the
+    phase's radix-2 folds, and add the roll-in.  Eliminates one
+    host<->device round-trip per phase; the host challenger state is
+    synced once from the returned final state.  Only valid when
+    commit_pow_bits == 0 (grinding forces host sequencing).
+
+    fn(state (16,), folded (2^log_max, D), *rollins) ->
+      (final_state, final_folded, roots (n_phases, 8),
+       (phase rows...), (phase layer flats...))
+    """
+    from ..fields.extension import ext_field
+    from ..stark.fri_pcs import _fold_consts
+
+    E = ext_field(field, d)
+    params = poseidon2_params(field, 16)
+    inv2 = field.monty_constant(pow(2, field.P - 2, field.P))
+    # per-phase fold constants
+    consts = []
+    shift = start_shift
+    log_size = log_max
+    for a in schedule:
+        per = []
+        s = shift
+        for t in range(a):
+            _x, inv_2x = _fold_consts(field, log_size - t, s)
+            per.append(inv_2x)
+            s = s * s % field.P
+        consts.append(per)
+        shift = s
+        log_size -= a
+
+    def fn(state, folded, *rollins):
+        from .poseidon2 import permute
+
+        roots = []
+        rows_out = []
+        flats_out = []
+        ri = 0
+        ls = log_max
+        for ph, a in enumerate(schedule):
+            group = 1 << a
+            rows = folded.reshape((1 << ls) >> a, group * d)
+            # single-matrix Merkle tree
+            layer = sponge_hash(params, rows, 8, 8, jnp)
+            layers = [layer]
+            h = layer.shape[0]
+            while h > 1:
+                layer = compress_pair(params, layer[0::2], layer[1::2], jnp)
+                layers.append(layer)
+                h //= 2
+            root = layers[-1][0]
+            roots.append(root)
+            rows_out.append(rows)
+            flats_out.append(jnp.concatenate(layers, axis=0))
+            # duplex: overwrite rate slots with the root, permute, β = rate[:D]
+            state = state.at[:8].set(root)
+            state = permute(params, state[None, :], jnp)[0]
+            beta_t = state[:d]
+            # phase folds
+            for t in range(a):
+                aa = folded[0::2]
+                bb = folded[1::2]
+                ssum = E.add(aa, bb, jnp)
+                dd = E.sub(aa, bb, jnp)
+                even = field.monty_mul(ssum, jnp.asarray(inv2), jnp)
+                odd = E.mul_base(dd, jnp.asarray(consts[ph][t]), jnp)
+                folded = E.add(
+                    even,
+                    E.mul(odd, jnp.broadcast_to(beta_t, odd.shape), jnp),
+                    jnp,
+                )
+                beta_t = E.mul(beta_t, beta_t, jnp)
+            ls -= a
+            if rollin_flags[ph]:
+                folded = E.add(folded, rollins[ri], jnp)
+                ri += 1
+        return (
+            state,
+            folded,
+            jnp.stack(roots),
+            tuple(rows_out),
+            tuple(flats_out),
+        )
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=None)
+def grind_fn(field: Monty31, k: int, bits: int, batch: int):
+    """Vectorized PoW grind on device: try `batch` witness candidates in
+    one call, return the smallest hit (or `batch` when none).
+
+    k: current input-buffer length (prefix overwrites state[:k], the
+    candidate goes at slot k — exactly the host duplex discipline)."""
+    params = poseidon2_params(field, 16)
+    mask = (1 << bits) - 1
+
+    def fn(state, prefix, start):
+        from .poseidon2 import permute
+
+        cand = (
+            (start + jnp.arange(batch, dtype=jnp.uint64)) % field.P
+        ).astype(jnp.uint32)
+        states = jnp.broadcast_to(state, (batch, 16))
+        if k:
+            states = states.at[:, :k].set(
+                jnp.broadcast_to(prefix, (batch, k))
+            )
+        states = states.at[:, k].set(cand)
+        out = permute(params, states, jnp)
+        hit = (out[:, 0] & mask) == 0
+        idx = jnp.argmax(hit)
+        return jnp.where(hit[idx], cand[idx], jnp.uint32(0)), hit[idx]
+
+    return jax.jit(fn)

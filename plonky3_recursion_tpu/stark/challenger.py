@@ -73,6 +73,9 @@ class DuplexChallenger:
         permutation family (hash-agnostic dispatch, reference `PermConfig`
         `circuit/src/ops/perm.rs:19`); defaults to Poseidon2."""
         self.field = field
+        # default Poseidon2 transcripts may be continued ON DEVICE by the
+        # fused FRI phase chain (fri_pcs); custom perms must stay on host
+        self.is_default_poseidon2 = params is None and perm_fn is None
         self.params = params or poseidon2_params(field, self.WIDTH)
         self.perm_fn = perm_fn or _default_perm_fn(self.params)
         self.state = np.zeros(self.WIDTH, dtype=U32)
@@ -124,6 +127,25 @@ class DuplexChallenger:
     def sample_vec(self, n: int) -> np.ndarray:
         return np.asarray([self.sample() for _ in range(n)], dtype=U32)
 
+    def _grind_device(self, bits: int, batch: int = 1 << 16) -> int:
+        """One device call tries 64k candidates; smallest hit wins (same
+        witness the host batch scan finds)."""
+        from ..ops.jitk import grind_fn
+
+        k = len(self.input_buffer)
+        fn = grind_fn(self.field, k, bits, batch)
+        prefix = np.asarray(
+            self.input_buffer or [0], dtype=U32
+        )[: max(k, 1)]
+        start = 0
+        while True:
+            w, found = fn(self.state, prefix, np.uint64(start))
+            if bool(found):
+                w = int(w)
+                assert self.check_witness(bits, w), "grind witness recheck"
+                return w
+            start += batch
+
     # ----- PoW grinding (GrindingChallenger) -----
 
     def check_witness(self, bits: int, witness: int) -> bool:
@@ -131,11 +153,17 @@ class DuplexChallenger:
         return self.sample_bits(bits) == 0
 
     def grind(self, bits: int, batch: int = 4096) -> int:
-        """Find a witness in vectorized host batches; mutates self like the
-        reference's grind (observe(witness) + sample_bits consumed)."""
+        """Find a witness in vectorized batches (device when the default
+        Poseidon2 transcript is in use, C++/host otherwise); mutates self
+        like the reference's grind (observe + sample_bits consumed)."""
         if bits == 0:
             assert self.check_witness(bits, 0)
             return 0
+        if self.is_default_poseidon2:
+            try:
+                return self._grind_device(bits)
+            except Exception:
+                pass
         k = len(self.input_buffer)
         base_state = self.state
         prefix = np.asarray(self.input_buffer, dtype=U32)

@@ -633,27 +633,84 @@ class TwoAdicFriPcs:
         commit_pows = []
         log_size = log_max
         with span("open.commit_phases"):
-            for a in schedule:
-                group = 1 << a
-                rows = folded.reshape((1 << log_size) >> a, group * E.D)
-                root, tree = self.mmcs.commit([rows], jnp)
-                commit_digests.append(np.asarray(root))
-                commit_trees.append(tree)
-                challenger.observe_slice(np.asarray(root))
-                if P.commit_pow_bits:
-                    commit_pows.append(challenger.grind(P.commit_pow_bits))
-                beta = challenger.sample_ext(E)
-                has_rollin = (log_size - a) in acc
-                fold = fri_phase_fold_fn(
-                    F, E.D, log_size, a, int(shift), has_rollin
+            chain_ok = (
+                P.commit_pow_bits == 0
+                and not challenger.input_buffer
+                and bool(schedule)
+                and getattr(challenger, "is_default_poseidon2", False)
+            )
+            if chain_ok:
+                # whole phase chain (commits + duplex transcript + folds)
+                # as ONE device program; sync the host challenger after
+                from ..ops.jitk import fri_phase_chain_fn, merkle_layer_heights
+
+                rollin_flags = []
+                rollin_args = []
+                ls = log_max
+                for a in schedule:
+                    ls -= a
+                    rollin_flags.append(ls in acc)
+                    if ls in acc:
+                        rollin_args.append(acc[ls])
+                fn = fri_phase_chain_fn(
+                    F,
+                    E.D,
+                    log_max,
+                    tuple(schedule),
+                    tuple(rollin_flags),
+                    int(F.generator),
                 )
-                args = (folded, np.asarray(beta, dtype=U32))
-                if has_rollin:
-                    args = args + (acc[log_size - a],)
-                folded = fold(*args)
-                for _t in range(a):
-                    shift = shift * shift % F.P
-                log_size -= a
+                (state, folded, roots, ph_rows, ph_flats) = fn(
+                    np.asarray(challenger.state, dtype=U32),
+                    folded,
+                    *rollin_args,
+                )
+                roots_np = np.asarray(roots)  # one download
+                challenger.state = np.asarray(state)
+                challenger.input_buffer = []
+                challenger.output_buffer = [
+                    int(x) for x in challenger.state[: challenger.RATE]
+                ][E.D :]
+                for ph, a in enumerate(schedule):
+                    commit_digests.append(roots_np[ph])
+                    commit_trees.append(
+                        MerkleTree(
+                            matrices=[ph_rows[ph]],
+                            dev_flat=ph_flats[ph],
+                            layer_heights=merkle_layer_heights(
+                                ((ph_rows[ph].shape[0], 0),)
+                            ),
+                        )
+                    )
+                    for _t in range(a):
+                        shift = shift * shift % F.P
+                    log_size -= a
+            else:
+                for a in schedule:
+                    group = 1 << a
+                    rows = folded.reshape(
+                        (1 << log_size) >> a, group * E.D
+                    )
+                    root, tree = self.mmcs.commit([rows], jnp)
+                    commit_digests.append(np.asarray(root))
+                    commit_trees.append(tree)
+                    challenger.observe_slice(np.asarray(root))
+                    if P.commit_pow_bits:
+                        commit_pows.append(
+                            challenger.grind(P.commit_pow_bits)
+                        )
+                    beta = challenger.sample_ext(E)
+                    has_rollin = (log_size - a) in acc
+                    fold = fri_phase_fold_fn(
+                        F, E.D, log_size, a, int(shift), has_rollin
+                    )
+                    args = (folded, np.asarray(beta, dtype=U32))
+                    if has_rollin:
+                        args = args + (acc[log_size - a],)
+                    folded = fold(*args)
+                    for _t in range(a):
+                        shift = shift * shift % F.P
+                    log_size -= a
         # final polynomial (tiny: download + host interpolation)
         folded_np = np.asarray(folded)
         final_evals = bit_reverse_rows(folded_np, np)

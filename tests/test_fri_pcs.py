@@ -258,12 +258,14 @@ def test_jit_open_bit_identical_to_host():
     from plonky3_recursion_tpu.stark.uni import koala_bear_config
     from plonky3_recursion_tpu.utils.serde import batch_proof_to_bytes
 
-    def run(use_jit):
+    def run(use_jit, commit_pow):
+        # commit_pow=0 exercises the fused device-transcript phase chain;
+        # commit_pow>0 forces the per-phase host-sequenced path
         params = FriParams(
             log_blowup=2,
             log_final_poly_len=1,
             num_queries=5,
-            commit_pow_bits=1,
+            commit_pow_bits=commit_pow,
             query_pow_bits=2,
             max_log_arity=2,
         )
@@ -287,4 +289,5 @@ def test_jit_open_bit_identical_to_host():
         assert prover.verify_all_tables(circuit, proof, pdata)
         return batch_proof_to_bytes(proof.batch)
 
-    assert run(False) == run(True)
+    assert run(False, 1) == run(True, 1)
+    assert run(False, 0) == run(True, 0)
