@@ -57,6 +57,7 @@ class NpoCall:
     chain: object = None  # chain key; same-key calls form one in-table chain
     prev_op: int | None = None  # previous call op_id on the same chain
     sum_out: int | None = None  # ExprId of the bound mmcs_index_sum
+    merkle_arity: int = 2  # 2 (direction bit) or 4 (two position bits)
 
 
 class CircuitBuilder:
@@ -337,6 +338,7 @@ class CircuitBuilder:
         *,
         new_start: bool = True,
         merkle_path: bool = False,
+        merkle_arity: int = 2,
         bind_sum: bool = False,
         chain=None,
         tag=None,
@@ -374,6 +376,7 @@ class CircuitBuilder:
             tag,
             new_start=new_start,
             merkle_path=merkle_path,
+            merkle_arity=merkle_arity,
             chain=chain,
             prev_op=prev_op,
         )

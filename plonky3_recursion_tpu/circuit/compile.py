@@ -95,6 +95,7 @@ class NpoInstance:
     level: int = -1
     new_start: bool = True
     merkle_path: bool = False
+    merkle_arity: int = 2
     chain: object = None
     prev_op: int | None = None
     sum_out: int | None = None  # wid of the bound mmcs_index_sum
@@ -331,6 +332,7 @@ def compile_circuit(builder) -> Circuit:
             c.tag,
             new_start=c.new_start,
             merkle_path=c.merkle_path,
+            merkle_arity=c.merkle_arity,
             chain=c.chain,
             prev_op=c.prev_op,
             sum_out=None if c.sum_out is None else wid_of_node[c.sum_out],

@@ -346,28 +346,54 @@ class CircuitRunner:
         k = len(cs)
         states = np.zeros((k, width), dtype=U32)
         bits = np.zeros(k, dtype=np.int64)
+        bits2 = np.zeros(k, dtype=np.int64)
         sums = np.zeros(k, dtype=np.int64)
         for i, call in enumerate(cs):
             st = states[i]
             prev = st_map.get(call.chain)
+            arity4 = call.merkle_path and (
+                getattr(call, "merkle_arity", 2) == 4
+            )
             if not call.new_start:
                 if prev is None:
                     raise MissingInput(
                         f"npo chain {call.chain} op {call.op_id}: no prior "
                         "output to chain from"
                     )
-                if call.merkle_path:
+                if arity4:
+                    pass  # running digest placed by position below
+                elif call.merkle_path:
                     st[:rate] = prev[0][:rate]
                 else:
                     st[:] = prev[0]
             bit = 0
+            bit2 = 0
             if call.merkle_path:
                 priv = (
                     self.npo_private.get(call.tag)
                     if call.tag is not None
                     else None
                 )
-                if priv is not None:
+                if arity4:
+                    # priv: {"bits": (b, b2), "siblings": (3, 8)} — the
+                    # running digest goes to slot b + 2·b2; the other three
+                    # 8-element slots hold the private sibling digests
+                    if priv is not None:
+                        bit, bit2 = (int(x) for x in priv.get("bits", (0, 0)))
+                        sibs = np.asarray(
+                            priv.get("siblings"), dtype=U32
+                        ).reshape(3, 8)
+                    else:
+                        sibs = np.zeros((3, 8), dtype=U32)
+                    pos = bit + 2 * bit2
+                    si = 0
+                    for q in range(4):
+                        if q == pos:
+                            st[8 * q : 8 * q + 8] = prev[0][:8]
+                        else:
+                            st[8 * q : 8 * q + 8] = sibs[si]
+                            si += 1
+                elif priv is not None:
                     bit = int(priv.get("bit", 0))
                     sib = priv.get("sibling")
                     if sib is not None:
@@ -376,14 +402,18 @@ class CircuitRunner:
             for l, wid in enumerate(call.inputs):
                 if wid is not None:
                     st[l * d : (l + 1) * d] = self.wit[wid]
-            if call.merkle_path and bit:
+            if call.merkle_path and bit and not arity4:
                 tmp = st[:rate].copy()
                 st[:rate] = st[rate:]
                 st[rate:] = tmp
             if call.merkle_path:
                 prev_sum = prev[1] if prev is not None else 0
-                sums[i] = 2 * prev_sum + bit
+                if arity4:
+                    sums[i] = 4 * prev_sum + bit + 2 * bit2
+                else:
+                    sums[i] = 2 * prev_sum + bit
             bits[i] = bit
+            bits2[i] = bit2
         outs = plugin.permute_states(states)
         recs = self.npo_records.setdefault(plugin.type_id, {})
         for i, call in enumerate(cs):
@@ -393,7 +423,12 @@ class CircuitRunner:
                     self.set_witness(w, outs[i, l * d : (l + 1) * d])
             if call.sum_out is not None:
                 self.set_witness(call.sum_out, int(sums[i]))
-            recs[call.op_id] = (states[i].copy(), int(bits[i]), int(sums[i]))
+            recs[call.op_id] = (
+                states[i].copy(),
+                int(bits[i]),
+                int(sums[i]),
+                int(bits2[i]),
+            )
 
     def _run_npos(self, calls: list):
         """Execute a level's NPO calls; plugins exposing execute_batch run

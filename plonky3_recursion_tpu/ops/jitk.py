@@ -548,8 +548,9 @@ def grind_fn(field: Monty31, k: int, bits: int, batch: int):
         from .poseidon2 import permute
 
         cand = (
-            (start + jnp.arange(batch, dtype=jnp.uint64)) % field.P
-        ).astype(jnp.uint32)
+            (start.astype(jnp.uint32) + jnp.arange(batch, dtype=jnp.uint32))
+            % field.P
+        )
         states = jnp.broadcast_to(state, (batch, 16))
         if k:
             states = states.at[:, :k].set(

@@ -89,7 +89,17 @@ class _Layout:
         self.n_sbox = n_sbox
         self.col_b = (1 + n_sbox) * width
         self.col_s = self.col_b + 1
-        self.main_width = self.col_s + 1
+        # W32 additionally supports ARITY-4 Merkle chaining (reference
+        # arity-4 paths over TruncatedPermutation<_,4,8,32>): a second
+        # position bit B2 and the committed product BB = B·B2 make the
+        # 4-way placement selectors degree-1
+        self.arity4 = width == 32
+        if self.arity4:
+            self.col_b2 = self.col_s + 1
+            self.col_bb = self.col_s + 2
+            self.main_width = self.col_bb + 1
+        else:
+            self.main_width = self.col_s + 1
         o = width
         self.p_sel_me = o
         self.p_sel_ext = o + 1
@@ -111,7 +121,12 @@ class _Layout:
         self.p_zerol = o
         o += self.width_ext
         self.p_mrow = o
-        self.prep_width = o + 1
+        o += 1
+        if self.arity4:
+            self.p_merkle4 = o
+            self.p_macc4 = o + 1
+            o += 2
+        self.prep_width = o
 
 
 def _m4_exprs(c):
@@ -221,6 +236,37 @@ class Poseidon2TableAir(Air):
             zg = Var("preprocessed", L.p_zerol + l, 0)
             for j in range(d):
                 b.assert_zero(zg * cur[l * d + j])
+        if L.arity4:
+            b2 = b.main_local[L.col_b2]
+            nxt_b2 = b.main_next[L.col_b2]
+            bb = b.main_local[L.col_bb]
+            nxt_bb = b.main_next[L.col_bb]
+            b.assert_zero(b2 * b2 - b2)
+            b.assert_zero(bb - bit * b2)
+            m4g = Var("preprocessed", L.p_merkle4, 1)
+            # position indicators from (B, B2, BB) — each degree 1
+            inds = [
+                 1 - nxt_bit - nxt_b2 + nxt_bb,
+                 nxt_bit - nxt_bb,
+                 nxt_b2 - nxt_bb,
+                 nxt_bb,
+            ]
+            for q in range(4):
+                for i in range(L.digest_limbs):
+                    for j in range(d):
+                        b.assert_zero(
+                            m4g
+                            * inds[q]
+                            * (
+                                nxt[(q * L.digest_limbs + i) * d + j]
+                                - cur[i * d + j]
+                            )
+                        )
+            # S' = 4·S + B' + 2·B2' across arity-4 block boundaries
+            b.assert_zero(
+                Var("preprocessed", L.p_macc4, 1)
+                * (nxt_s - 4 * s_acc - nxt_bit - 2 * nxt_b2)
+            )
         # Merkle chaining: running digest (rate limbs of cur output) goes
         # left (B'=0) or right (B'=1) in the next row's input; the other
         # half holds the private sibling (unconstrained here, bound by the
@@ -377,6 +423,14 @@ class Poseidon2Npo:
                 for l, wid in enumerate(call.inputs):
                     if wid is None:
                         prep[base, L.p_zerol + l] = 1
+            elif call.merkle_path and getattr(call, "merkle_arity", 2) == 4:
+                assert L.arity4, "arity-4 merkle rows need the W32 table"
+                for i in range(L.digest_limbs):
+                    assert call.inputs[i] is None, (
+                        "merkle rows must not CTL the running-digest slot"
+                    )
+                prep[base, L.p_merkle4] = 1
+                prep[base, L.p_macc4] = 1
             elif call.merkle_path:
                 for i in range(L.digest_limbs):
                     assert call.inputs[i] is None, (
@@ -435,10 +489,18 @@ class Poseidon2Npo:
             else:
                 sbox_blocks = [cube, F.mul(F.mul(cube, cube, np), t, np)]
             body = np.concatenate([flat] + sbox_blocks, axis=1)
-        extra = np.zeros((n_perms * rpp, 2), dtype=U32)
-        extra[::rpp, 0] = np.asarray([r[1] for r in recs], dtype=U32)
+        n_extra = 4 if self.L.arity4 else 2
+        extra = np.zeros((n_perms * rpp, n_extra), dtype=U32)
+        bits = np.asarray([r[1] for r in recs], dtype=U32)
+        extra[::rpp, 0] = bits
         sums = np.asarray([int(r[2]) % F.P for r in recs], dtype=U32)
         extra[:, 1] = np.repeat(sums, rpp)
+        if self.L.arity4:
+            bit2 = np.asarray(
+                [r[3] if len(r) > 3 else 0 for r in recs], dtype=U32
+            )
+            extra[::rpp, 2] = bit2
+            extra[::rpp, 3] = bits * bit2
         return _pad_pow2(np.concatenate([body, extra], axis=1), min_height)
 
 

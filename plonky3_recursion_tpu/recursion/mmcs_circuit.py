@@ -34,6 +34,7 @@ class MmcsGadget:
     DIGEST = 8
     LIMBS = 4
     RATE_LIMBS = 2
+    DIGEST_LIMBS = 2
 
     def __init__(self, builder: CircuitBuilder, npo_type_id: str):
         self.b = builder
@@ -226,8 +227,85 @@ class MmcsGadget:
         if roots is None:
             roots = [
                 self._recompose(commitment[4 * l : 4 * l + 4])
-                for l in range(self.RATE_LIMBS)
+                for l in range(self.DIGEST_LIMBS)
             ]
             self._root_cache[key] = roots
         for o, r in zip(out_limbs, roots):
             b.connect(o, r)
+
+
+class MmcsGadget4(MmcsGadget):
+    """Arity-4 in-circuit MMCS over the W32 table (reference
+    `add_mmcs_verify_arity4`, `circuit/src/ops/mmcs.rs:242-348` /
+    `recursion/src/pcs/mmcs.rs:1251`): one chained W32 block per 4-to-1
+    compression — HALF the perm rows of the arity-2 path — with the
+    in-table index accumulator stepping S' = 4·S + b + 2·b2 per level.
+    Single height class per commitment (native `MerkleMmcs4`)."""
+
+    WIDTH = 32
+    RATE = 24
+    DIGEST = 8
+    LIMBS = 8
+    RATE_LIMBS = 6
+    DIGEST_LIMBS = 2
+
+    def verify_batch(
+        self,
+        commitment: list[int],
+        dims: list[tuple[int, int]],
+        index_bits: list[int],
+        opened_rows: list[list[int]],
+        tag,
+        ext_rows: bool = False,
+    ):
+        b = self.b
+        heights = {h for h, _w in dims}
+        assert len(heights) == 1, "arity-4 gadget: single height"
+        (h,) = heights
+        levels = 0
+        hh = h
+        while hh > 1:
+            assert hh % 4 == 0
+            hh //= 4
+            levels += 1
+        assert len(index_bits) >= 2 * levels
+        chain = b.new_chain("mmcs4_path")
+        values = [v for row in opened_rows for v in row]
+        if ext_rows:
+            self.absorb_ext(values, chain)
+        else:
+            self.absorb(values, chain)
+        for level in range(levels):
+            b.perm_call(
+                self.npo,
+                [None] * self.LIMBS,
+                [False] * self.LIMBS,
+                new_start=False,
+                merkle_path=True,
+                merkle_arity=4,
+                chain=chain,
+                tag=(tag, level),
+            )
+        self.private_paths.append((tag, levels))
+        last_op = b._chain_last[chain]
+        call = b.npos[last_op]
+        outs = [
+            b.npo_out_wire(last_op, i) for i in range(self.DIGEST_LIMBS)
+        ]
+        if levels:
+            call.sum_out = b.g.npo_out(last_op, self.LIMBS)
+        self._connect_root(outs, commitment)
+        if levels:
+            # S accumulates base-4 digits LSB-first: level l adds
+            # bits[2l] + 2·bits[2l+1]
+            expected = None
+            for level in range(levels):
+                pos = b.add(
+                    index_bits[2 * level],
+                    b.mul(b.const(2), index_bits[2 * level + 1]),
+                )
+                if expected is None:
+                    expected = pos
+                else:
+                    expected = b.mul_add(b.const(4), expected, pos)
+            b.connect(call.sum_out, expected)

@@ -139,7 +139,7 @@ class DuplexChallenger:
         )[: max(k, 1)]
         start = 0
         while True:
-            w, found = fn(self.state, prefix, np.uint64(start))
+            w, found = fn(self.state, prefix, np.uint32(start))
             if bool(found):
                 w = int(w)
                 assert self.check_witness(bits, w), "grind witness recheck"

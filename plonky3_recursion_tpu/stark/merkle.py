@@ -191,3 +191,89 @@ def flatten_ext_matrix(m_ext) -> np.ndarray:
 
 def unflatten_ext_row(row: np.ndarray, d: int) -> np.ndarray:
     return np.asarray(row).reshape(-1, d)
+
+
+def compress4(params, children, xp=np):
+    """TruncatedPermutation 4-to-1 over a W32 permutation:
+    children (N, 4, 8) -> (N, 8)."""
+    n = children.shape[0]
+    state = children.reshape(n, 32)
+    from ..ops.poseidon2 import permute
+
+    return permute(params, state, xp)[..., :DIGEST_ELEMS]
+
+
+class MerkleMmcs4:
+    """Arity-4 Merkle MMCS over the W32 permutation (reference arity-4
+    trees, `circuit/src/ops/mmcs.rs:242-348`): leaf rows hash through the
+    W32/rate-24 sponge, each level packs FOUR child digests into one W32
+    permutation — half the levels (and half the chained perm rows in the
+    recursive verifier) of the arity-2 tree.  Single height class per
+    commit (FRI commit-phase/table-batch shape); heights must satisfy
+    4 | H."""
+
+    def __init__(self, field: Monty31):
+        self.field = field
+        self.params = poseidon2_params(field, 32)
+
+    def commit(self, matrices: list, xp=np):
+        heights = {m.shape[0] for m in matrices}
+        assert len(heights) == 1, "arity-4 MMCS: single height per commit"
+        (h,) = heights
+        rows = xp.concatenate([xp.asarray(m) for m in matrices], axis=1)
+        layer = sponge_hash(self.params, rows, 24, DIGEST_ELEMS, xp)
+        layers = [layer]
+        while h > 1:
+            assert h % 4 == 0, "arity-4 MMCS: height must be a power of 4"
+            layer = compress4(
+                self.params, layer.reshape(h // 4, 4, DIGEST_ELEMS), xp
+            )
+            layers.append(layer)
+            h //= 4
+        tree = MerkleTree(matrices=list(matrices), layers=[np.asarray(l) for l in layers])
+        return np.asarray(layers[-1][0]), tree
+
+    def open_batch(self, index: int, tree: MerkleTree):
+        opened = [np.asarray(m[index]) for m in tree.matrices]
+        siblings = []  # per level: (3, 8) the OTHER three children in order
+        idx = index
+        layers = tree.host_layers()
+        for level in range(len(layers) - 1):
+            group = (idx >> 2) << 2
+            sibs = [
+                np.asarray(layers[level][group + q])
+                for q in range(4)
+                if group + q != idx
+            ]
+            siblings.append(np.stack(sibs))
+            idx >>= 2
+        return opened, siblings
+
+    def verify_batch(
+        self,
+        commitment: np.ndarray,
+        dimensions: list[tuple[int, int]],
+        index: int,
+        opened_rows: list,
+        siblings: list,
+        xp=np,
+    ) -> bool:
+        rows = np.concatenate(
+            [np.asarray(r, dtype=U32).reshape(-1) for r in opened_rows]
+        )[None, :]
+        node = sponge_hash(self.params, rows, 24, DIGEST_ELEMS, xp)[0]
+        idx = index
+        for sibs in siblings:
+            sibs = np.asarray(sibs, dtype=U32)
+            pos = idx & 3
+            children = np.empty((4, DIGEST_ELEMS), dtype=U32)
+            si = 0
+            for q in range(4):
+                if q == pos:
+                    children[q] = node
+                else:
+                    children[q] = sibs[si]
+                    si += 1
+            node = compress4(self.params, children[None], xp)[0]
+            idx >>= 2
+        return bool(np.array_equal(node, np.asarray(commitment, dtype=U32)))

@@ -1,0 +1,123 @@
+"""Arity-4 MMCS: native W32 4-to-1 trees and the in-circuit chained path
+(reference `circuit/src/ops/mmcs.rs:242-348`,
+`recursion/tests/recursive_arity4_mmcs.rs` analog)."""
+
+import numpy as np
+import pytest
+
+from plonky3_recursion_tpu.circuit import CircuitBuilder
+from plonky3_recursion_tpu.fields import KOALA_BEAR as F, ext_field
+from plonky3_recursion_tpu.prover import BatchStarkProver, circuit_prover_data
+from plonky3_recursion_tpu.prover.poseidon2_table import poseidon2_npo_for
+from plonky3_recursion_tpu.recursion.mmcs_circuit import MmcsGadget4
+from plonky3_recursion_tpu.stark.fri_pcs import FriParams
+from plonky3_recursion_tpu.stark.merkle import MerkleMmcs4
+from plonky3_recursion_tpu.stark.uni import koala_bear_config
+
+E4 = ext_field(F, 4)
+
+
+def test_native_arity4_roundtrip(rng):
+    m = MerkleMmcs4(F)
+    mat = F.rand(rng, (256, 7))
+    root, tree = m.commit([mat])
+    for idx in (0, 100, 255):
+        opened, sibs = m.open_batch(idx, tree)
+        assert len(sibs) == 4  # log4(256)
+        assert m.verify_batch(root, [(256, 7)], idx, opened, sibs)
+        bad = [o.copy() for o in opened]
+        bad[0][3] ^= 1
+        assert not m.verify_batch(root, [(256, 7)], idx, bad, sibs)
+        # wrong index rejected
+        assert not m.verify_batch(
+            root, [(256, 7)], idx ^ 3, opened, sibs
+        )
+
+
+def test_arity4_circuit_path(rng):
+    """In-circuit arity-4 path: 2 levels (16 rows) = TWO chained W32 perm
+    blocks after the leaf sponge, with the base-4 index accumulator bound
+    to the public index bits; proven and verified as a batch proof."""
+    config = koala_bear_config(FriParams.testing())
+    m = MerkleMmcs4(F)
+    mat = F.rand(rng, (16, 5))
+    root, tree = m.commit([mat])
+    idx = 11
+    opened, sibs = m.open_batch(idx, tree)
+    assert m.verify_batch(root, [(16, 5)], idx, opened, sibs)
+
+    b = CircuitBuilder(E4)
+    npo = poseidon2_npo_for(F.name, 32)
+    b.enable_op(npo)
+    gad = MmcsGadget4(b, npo.type_id)
+    commit_t = [b.public_input() for _ in range(8)]
+    bit_ts = [b.public_input() for _ in range(4)]
+    for t in bit_ts:
+        b.assert_bool(t)
+    row_t = [b.private_input() for _ in range(5)]
+    gad.verify_batch(commit_t, [(16, 5)], bit_ts, [row_t], tag="a4")
+    circuit = b.build()
+    pdata = circuit_prover_data(config, circuit)
+
+    runner = circuit.runner()
+    runner.set_public_inputs(
+        [int(x) for x in root]
+        + [(idx >> i) & 1 for i in range(4)]
+    )
+    runner.set_private_inputs([int(v) for v in opened[0]])
+    for level in range(2):
+        pos = (idx >> (2 * level)) & 3
+        runner.set_private_data(
+            ("a4", level),
+            {
+                "bits": (pos & 1, (pos >> 1) & 1),
+                "siblings": np.asarray(sibs[level], dtype=np.uint32),
+            },
+        )
+    traces = runner.run()
+    prover = BatchStarkProver(config)
+    proof = prover.prove_all_tables(circuit, traces, pdata, debug_lookups=True)
+    assert prover.verify_all_tables(circuit, proof, pdata)
+
+    # wrong index bits -> the in-table accumulator binding fails
+    from plonky3_recursion_tpu.circuit import WitnessConflict
+
+    r2 = circuit.runner()
+    bad_idx = idx ^ 1
+    r2.set_public_inputs(
+        [int(x) for x in root]
+        + [(bad_idx >> i) & 1 for i in range(4)]
+    )
+    r2.set_private_inputs([int(v) for v in opened[0]])
+    for level in range(2):
+        pos = (idx >> (2 * level)) & 3
+        r2.set_private_data(
+            ("a4", level),
+            {
+                "bits": (pos & 1, (pos >> 1) & 1),
+                "siblings": np.asarray(sibs[level], dtype=np.uint32),
+            },
+        )
+    with pytest.raises((WitnessConflict, ValueError)):
+        r2.run()
+
+    # tampered leaf -> root connect fails
+    r3 = circuit.runner()
+    r3.set_public_inputs(
+        [int(x) for x in root]
+        + [(idx >> i) & 1 for i in range(4)]
+    )
+    bad_leaf = [int(v) for v in opened[0]]
+    bad_leaf[0] ^= 1
+    r3.set_private_inputs(bad_leaf)
+    for level in range(2):
+        pos = (idx >> (2 * level)) & 3
+        r3.set_private_data(
+            ("a4", level),
+            {
+                "bits": (pos & 1, (pos >> 1) & 1),
+                "siblings": np.asarray(sibs[level], dtype=np.uint32),
+            },
+        )
+    with pytest.raises((WitnessConflict, ValueError)):
+        r3.run()
