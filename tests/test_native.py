@@ -60,3 +60,46 @@ def test_native_grind_matches_python():
     wn = native.grind(8)
     wp = py.grind(8)
     assert wn == wp  # both find the smallest witness
+
+
+def test_native_table_rows_matches_numpy(rng):
+    """C++ round-state capture + S-box register columns == numpy path."""
+    from plonky3_recursion_tpu.fields import BABY_BEAR, KOALA_BEAR
+    from plonky3_recursion_tpu.native import NativePoseidon2
+    from plonky3_recursion_tpu.ops.poseidon2 import (
+        permute_with_rows,
+        poseidon2_params,
+    )
+
+    for field, width, n_sbox in (
+        (KOALA_BEAR, 16, 1),
+        (KOALA_BEAR, 32, 1),
+        (BABY_BEAR, 16, 2),
+    ):
+        params = poseidon2_params(field, width)
+        nat = NativePoseidon2(params)
+        states = field.rand(rng, (37, width))
+        rpp = 2 + params.full_rounds + params.partial_rounds
+        rows = permute_with_rows(params, states, np)
+        assert np.array_equal(nat.permute_rows(states, rpp), rows)
+        # table_rows: state block + sbox register blocks
+        rc = np.zeros((rpp, width), dtype=np.uint32)
+        r = 1
+        for e in range(params.full_rounds // 2):
+            rc[r] = params.rc_ext[e]
+            r += 1
+        for i in range(params.partial_rounds):
+            rc[r, 0] = params.rc_int[i]
+            r += 1
+        for e in range(params.full_rounds // 2, params.full_rounds):
+            rc[r] = params.rc_ext[e]
+            r += 1
+        got = nat.table_rows(states, rc, n_sbox)
+        flat = rows.reshape(-1, width)
+        t = field.add(flat, np.tile(rc, (37, 1)), np)
+        cube = field.mul(field.mul(t, t, np), t, np)
+        want = [flat, cube]
+        if n_sbox == 2:
+            want.append(field.mul(field.mul(cube, cube, np), t, np))
+        want = np.concatenate(want, axis=1).reshape(37, rpp, -1)
+        assert np.array_equal(got, want)
