@@ -138,6 +138,7 @@ def build_main_tables(
     traces,
     min_height: int = 4,
     packing: TablePacking | None = None,
+    device: bool = False,
 ):
     packing = packing or TablePacking()
     d = circuit.ext.D
@@ -161,7 +162,15 @@ def build_main_tables(
     for plugin, calls in _npo_groups(circuit):
         recs = traces.npo_records.get(plugin.type_id, {})
         records = [recs[call.op_id] for call in calls]
-        mains.append(plugin.build_main(calls, records, min_height))
+        if device and hasattr(plugin, "build_main_device"):
+            # build the (large) table ON DEVICE from the tiny per-call
+            # records — uploads ~(n, width) states instead of the full
+            # (n·rows_per_perm, main_width) trace through the interconnect
+            mains.append(
+                plugin.build_main_device(calls, records, min_height)
+            )
+        else:
+            mains.append(plugin.build_main(calls, records, min_height))
     return tuple(mains)
 
 
@@ -264,7 +273,11 @@ class BatchStarkProver:
 
         with span("build_main_tables"):
             mains = build_main_tables(
-                circuit, traces, prover_data.min_height, prover_data.packing
+                circuit,
+                traces,
+                prover_data.min_height,
+                prover_data.packing,
+                device=self.config.pcs.use_jit,
             )
         preps = prover_data.preps
         if self.config.pcs.use_jit:

@@ -520,3 +520,71 @@ def koala_bear_poseidon2_npo() -> Poseidon2Npo:
 
 def baby_bear_poseidon2_npo() -> Poseidon2Npo:
     return poseidon2_npo_for("baby_bear")
+
+
+def _device_table_fn(npo: Poseidon2Npo, n_perms: int, min_height: int):
+    """Cached jit: (states (n, width), extra (n·rpp, n_extra)) -> padded
+    main table, fully on device (the host uploads only the input states)."""
+    import jax
+    import jax.numpy as jnp
+
+    key = (npo.type_id, n_perms, min_height)
+    fn = _DEVICE_TABLE_CACHE.get(key)
+    if fn is not None:
+        return fn
+    F = npo.params.field
+    width = npo.params.width
+    n_sbox = _sbox_registers(F.sbox_degree)
+    rpp = npo.rows_per_perm
+    rc_tile = np.tile(npo._rc_block(), (n_perms, 1))
+    n_rows = n_perms * rpp
+    target = max(min_height, 1 << max(n_rows - 1, 0).bit_length())
+
+    def body(states, extra):
+        rows = permute_with_rows(npo.params, states, jnp)
+        flat = rows.reshape(n_rows, width)
+        t = F.add(flat, jnp.asarray(rc_tile), jnp)
+        cube = F.mul(F.mul(t, t, jnp), t, jnp)
+        blocks = [flat, cube]
+        if n_sbox == 2:
+            blocks.append(F.mul(F.mul(cube, cube, jnp), t, jnp))
+        main = jnp.concatenate(blocks + [extra], axis=1)
+        if target > n_rows:
+            main = jnp.pad(main, [(0, target - n_rows), (0, 0)])
+        return main
+
+    fn = jax.jit(body)
+    _DEVICE_TABLE_CACHE[key] = fn
+    return fn
+
+
+_DEVICE_TABLE_CACHE: dict = {}
+
+
+def _poseidon2_build_main_device(self, calls, records, min_height: int):
+    """Device-resident `build_main` (bit-identical; see _device_table_fn)."""
+    F = self.params.field
+    if not records:
+        return self.build_main(calls, records, min_height)
+    ordered = chain_order(calls)
+    rec_by_op = {c.op_id: r for c, r in zip(calls, records)}
+    recs = [rec_by_op[c.op_id] for c in ordered]
+    states = np.stack([r[0] for r in recs]).astype(U32)
+    rpp = self.rows_per_perm
+    n_perms = states.shape[0]
+    n_extra = 4 if self.L.arity4 else 2
+    extra = np.zeros((n_perms * rpp, n_extra), dtype=U32)
+    bits = np.asarray([r[1] for r in recs], dtype=U32)
+    extra[::rpp, 0] = bits
+    sums = np.asarray([int(r[2]) % F.P for r in recs], dtype=U32)
+    extra[:, 1] = np.repeat(sums, rpp)
+    if self.L.arity4:
+        bit2 = np.asarray(
+            [r[3] if len(r) > 3 else 0 for r in recs], dtype=U32
+        )
+        extra[::rpp, 2] = bit2
+        extra[::rpp, 3] = bits * bit2
+    return _device_table_fn(self, n_perms, min_height)(states, extra)
+
+
+Poseidon2Npo.build_main_device = _poseidon2_build_main_device

@@ -291,3 +291,34 @@ def test_jit_open_bit_identical_to_host():
 
     assert run(False, 1) == run(True, 1)
     assert run(False, 0) == run(True, 0)
+
+
+@pytest.mark.slow
+def test_device_poseidon_proof_bit_identical(rng):
+    """A proof of a Poseidon2-table circuit through the device path
+    (device table build, fused perm columns, fused open, device transcript
+    chain, device grind) is byte-identical to the host path."""
+    from tests.test_poseidon2_npo import perm_circuit
+    from plonky3_recursion_tpu.prover import (
+        BatchStarkProver,
+        circuit_prover_data,
+    )
+    from plonky3_recursion_tpu.stark.uni import koala_bear_config
+    from plonky3_recursion_tpu.utils.serde import batch_proof_to_bytes
+
+    state = KOALA_BEAR.rand(rng, (16,))
+
+    def run(use_jit):
+        config = koala_bear_config(FriParams.testing(), use_jit=use_jit)
+        circuit = perm_circuit(2)
+        pdata = circuit_prover_data(config, circuit)
+        r = circuit.runner()
+        r.set_public_inputs(
+            [tuple(state[4 * j : 4 * j + 4]) for j in range(4)]
+        )
+        prover = BatchStarkProver(config)
+        proof = prover.prove_all_tables(circuit, r.run(), pdata)
+        assert prover.verify_all_tables(circuit, proof, pdata)
+        return batch_proof_to_bytes(proof.batch)
+
+    assert run(False) == run(True)
