@@ -331,11 +331,12 @@ def build_and_prove_next_layer(
     inner: RecursionInput,
     xp=np,
     cache: NextLayerPrepCache | None = None,
+    params: ProveNextLayerParams | None = None,
 ) -> RecursionInput:
     prep = (
-        cache.get_or_build(config, inner)
+        cache.get_or_build(config, inner, params)
         if cache is not None
-        else build_next_layer_prep(config, inner)
+        else build_next_layer_prep(config, inner, params)
     )
     proof = prove_next_layer(config, prep, inner.proof, xp=xp)
     d = prep.circuit.ext.D
