@@ -1,0 +1,112 @@
+"""PCS-specific recursion backends.
+
+TPU-native equivalent of the reference's `PcsRecursionBackend` trait
+(`recursion/src/recursion.rs:170-217`) and its FRI implementation
+(`recursion/src/backend/fri.rs:41-107`): the recursion pipeline
+(`build_next_layer_circuit` / `prove_next_layer`) is generic over WHICH
+polynomial-commitment scheme's verifier circuit gets built for the inner
+proof.  A backend knows how to
+
+  1. prepare the circuit builder (enable the challenger permutation NPO —
+     reference `prepare_circuit`),
+  2. build the verifier circuit for an inner proof shape
+     (`build_verifier_circuit` -> a `VerifierCircuitResult`-shaped object
+     whose pack_* methods feed the runner),
+  3. set PCS-specific private data on the runner (Merkle direction bits +
+     sibling digests for FRI; reference `set_private_data` /
+     `set_fri_mmcs_private_data`), and
+  4. contribute its parameter fingerprint to the layer fixed-point key
+     (so `NextLayerPrepCache` never reuses prep across PCS configs).
+
+Like the reference (whose `backend/` ships only `fri.rs`), the one
+production backend is FRI.  The WHIR verifier circuit
+(`recursion/whir_verifier.py`) returns the same pack_* result surface and
+plugs in the same way once WHIR is used as the proof's PCS.
+"""
+
+from __future__ import annotations
+
+from ..stark.uni import StarkConfig
+from .batch_verifier import VerifierCircuitResult, build_batch_verifier_circuit
+
+
+class PcsRecursionBackend:
+    """Interface: how a recursion layer verifies one PCS family in-circuit
+    (reference `PcsRecursionBackend`, `recursion/src/recursion.rs:170`)."""
+
+    def prepare_circuit(self, config: StarkConfig, builder) -> None:
+        """Enable permutations/NPOs the verifier circuit needs (reference
+        `prepare_circuit`).  The FRI builder self-registers its NPOs, so
+        the default is a no-op hook."""
+
+    def build_verifier_circuit(
+        self,
+        config: StarkConfig,
+        airs_lookups: list,
+        shapes: list,
+        common,
+        *,
+        terminal_checks=None,
+        app_public_idx=None,
+        horner_k: int = 8,
+    ) -> VerifierCircuitResult:
+        raise NotImplementedError
+
+    def set_private_data(self, runner, vcr, proof) -> None:
+        """Feed PCS-specific private data (Merkle bits/siblings) to the
+        runner (reference `set_private_data`,
+        `recursion/src/pcs/mmcs.rs:653`)."""
+        raise NotImplementedError
+
+    def fingerprint_key(self, config: StarkConfig) -> tuple:
+        """PCS parameters that change the verifier circuit's shape —
+        folded into `inner_fingerprint` so the prep cache is
+        backend-aware."""
+        raise NotImplementedError
+
+
+class FriRecursionBackend(PcsRecursionBackend):
+    """The FRI/two-adic backend (reference `backend/fri.rs`): builds the
+    batch-stark verifier circuit with the in-circuit FRI fold chain and
+    supplies per-query Merkle paths as NPO private data."""
+
+    def build_verifier_circuit(
+        self,
+        config: StarkConfig,
+        airs_lookups: list,
+        shapes: list,
+        common,
+        *,
+        terminal_checks=None,
+        app_public_idx=None,
+        horner_k: int = 8,
+    ) -> VerifierCircuitResult:
+        return build_batch_verifier_circuit(
+            config,
+            airs_lookups,
+            shapes,
+            common,
+            terminal_checks=terminal_checks,
+            app_public_idx=app_public_idx,
+            horner_k=horner_k,
+        )
+
+    def set_private_data(self, runner, vcr, proof) -> None:
+        for key, data in vcr.pack_npo_private(proof).items():
+            runner.set_private_data(key, data)
+
+    def fingerprint_key(self, config: StarkConfig) -> tuple:
+        p = config.pcs.params
+        return (
+            "fri",
+            p.log_blowup,
+            p.num_queries,
+            p.max_log_arity,
+            p.log_final_poly_len,
+            p.commit_pow_bits,
+            p.query_pow_bits,
+            config.pcs.hiding_salt_cols,
+        )
+
+
+DEFAULT_BACKEND = FriRecursionBackend()

@@ -33,7 +33,8 @@ from ..stark.batch import InstanceShape
 from ..stark.lookups import add_lookup_constraints, num_perm_cols
 from ..stark.symbolic import AirBuilder, log_quotient_degree
 from ..stark.uni import StarkConfig
-from .batch_verifier import VerifierCircuitResult, build_batch_verifier_circuit
+from .backend import DEFAULT_BACKEND, PcsRecursionBackend
+from .batch_verifier import VerifierCircuitResult
 
 
 @dataclasses.dataclass
@@ -171,14 +172,21 @@ class ProveNextLayerParams:
 
 
 def build_next_layer_circuit(
-    config: StarkConfig, inner: RecursionInput | tuple, horner_k: int = 8
+    config: StarkConfig,
+    inner: RecursionInput | tuple,
+    horner_k: int = 8,
+    backend: PcsRecursionBackend | None = None,
 ) -> tuple[Circuit, VerifierCircuitResult]:
     """Build the circuit verifying proofs shaped like `inner`'s.
+
+    `backend` selects the PCS family verified in-circuit (reference
+    `PcsRecursionBackend`, `recursion.rs:170-217`); default FRI.
 
     Cross-config: when `inner.config` is set, the in-circuit replay runs
     under the INNER config (its FRI params / hiding mode) while the layer
     itself is proven under `config` — FRI-parameter switching up the chain
     (reference `recursion.rs:772-899`).  Same field/extension only."""
+    backend = backend or DEFAULT_BACKEND
     if isinstance(inner, RecursionInput):
         inner_circuit, inner_pdata = inner.circuit, inner.prover_data
         app_idx = inner.app_public_idx
@@ -199,7 +207,7 @@ def build_next_layer_circuit(
     airs = _airs(inner_cfg, inner_circuit, inner_pdata.packing)
     airs_lookups = [(a, a.lookups()) for a in airs]
     shapes = compute_shapes(inner_cfg, inner_circuit, inner_pdata)
-    vcr = build_batch_verifier_circuit(
+    vcr = backend.build_verifier_circuit(
         inner_cfg,
         airs_lookups,
         shapes,
@@ -220,24 +228,33 @@ class NextLayerPrep:
     circuit: Circuit
     vcr: VerifierCircuitResult
     pdata: CircuitProverData
+    backend: PcsRecursionBackend = dataclasses.field(
+        default_factory=lambda: DEFAULT_BACKEND
+    )
 
 
 def build_next_layer_prep(
     config: StarkConfig,
     inner: RecursionInput,
     params: ProveNextLayerParams | None = None,
+    backend: PcsRecursionBackend | None = None,
 ) -> NextLayerPrep:
     params = params or ProveNextLayerParams()
+    backend = backend or DEFAULT_BACKEND
     outer_circuit, vcr = build_next_layer_circuit(
-        config, inner, horner_k=params.resolved_horner_k()
+        config, inner, horner_k=params.resolved_horner_k(), backend=backend
     )
     pdata = circuit_prover_data(
         config, outer_circuit, packing=params.resolved_packing()
     )
-    return NextLayerPrep(outer_circuit, vcr, pdata)
+    return NextLayerPrep(outer_circuit, vcr, pdata, backend)
 
 
-def inner_fingerprint(config: StarkConfig, inner: RecursionInput) -> tuple:
+def inner_fingerprint(
+    config: StarkConfig,
+    inner: RecursionInput,
+    backend: PcsRecursionBackend | None = None,
+) -> tuple:
     """Everything the next-layer circuit depends on: the inner proof's
     instance shapes, the (value-free) Public terminal-check spec, and the
     packing.  The verifier circuit is purely STRUCTURAL — const values are
@@ -272,7 +289,7 @@ def inner_fingerprint(config: StarkConfig, inner: RecursionInput) -> tuple:
         )
     )
     cfg = inner.config or config
-    cfg_key = (cfg.field.name, repr(cfg.pcs.params), cfg.pcs.hiding_salt_cols)
+    cfg_key = (cfg.field.name,) + (backend or DEFAULT_BACKEND).fingerprint_key(cfg)
     return (shapes, has_prep, tc, packing, app, cfg_key)
 
 
@@ -292,13 +309,14 @@ class NextLayerPrepCache:
         config: StarkConfig,
         inner: RecursionInput,
         params: ProveNextLayerParams | None = None,
+        backend: PcsRecursionBackend | None = None,
     ) -> NextLayerPrep:
         params = params or ProveNextLayerParams()
-        key = (inner_fingerprint(config, inner), params.key())
+        key = (inner_fingerprint(config, inner, backend), params.key())
         prep = self._entries.get(key)
         if prep is None:
             self.misses += 1
-            prep = build_next_layer_prep(config, inner, params)
+            prep = build_next_layer_prep(config, inner, params, backend)
             self._entries[key] = prep
         else:
             self.hits += 1
@@ -317,8 +335,7 @@ def prove_next_layer(
     runner.set_private_inputs(
         prep.vcr.pack_private_inputs(inner_proof.batch)
     )
-    for key, data in prep.vcr.pack_npo_private(inner_proof.batch).items():
-        runner.set_private_data(key, data)
+    prep.backend.set_private_data(runner, prep.vcr, inner_proof.batch)
     traces = runner.run()
     prover = BatchStarkProver(config)
     return prover.prove_all_tables(

@@ -214,3 +214,37 @@ def test_recursion_optimized_profile():
     layer = prove_next_layer(config, prep, inner.proof)
     prover = BatchStarkProver(config)
     assert prover.verify_all_tables(prep.circuit, layer, prep.pdata)
+
+
+def test_pcs_recursion_backend_dispatch():
+    """The recursion pipeline is generic over the PCS backend (reference
+    PcsRecursionBackend, recursion.rs:170-217): an explicitly-passed FRI
+    backend produces a layer identical to the default, and the prep-cache
+    fingerprint includes the backend's PCS parameter key, so two configs
+    differing only in FRI params never share cached prep."""
+    from plonky3_recursion_tpu.recursion.backend import FriRecursionBackend
+    from plonky3_recursion_tpu.recursion.recursion import (
+        NextLayerPrepCache,
+        inner_fingerprint,
+    )
+
+    config, inner = make_inner(n=8)
+    backend = FriRecursionBackend()
+    prep = build_next_layer_prep(config, inner, backend=backend)
+    layer = prove_next_layer(config, prep, inner.proof)
+    prover = BatchStarkProver(config)
+    assert prover.verify_all_tables(prep.circuit, layer, prep.pdata)
+
+    # the backend key distinguishes PCS configurations in the cache
+    fp_default = inner_fingerprint(config, inner)
+    fp_explicit = inner_fingerprint(config, inner, backend)
+    assert fp_default == fp_explicit
+    key = backend.fingerprint_key(config)
+    assert key[0] == "fri" and len(key) == 8
+    other = koala_bear_config(FriParams.standard(124))
+    assert backend.fingerprint_key(other) != key
+
+    cache = NextLayerPrepCache()
+    p1 = cache.get_or_build(config, inner, backend=backend)
+    p2 = cache.get_or_build(config, inner, backend=backend)
+    assert p1 is p2 and cache.hits == 1
