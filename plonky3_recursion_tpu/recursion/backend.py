@@ -106,6 +106,10 @@ class FriRecursionBackend(PcsRecursionBackend):
             p.commit_pow_bits,
             p.query_pow_bits,
             config.pcs.hiding_salt_cols,
+            getattr(config.pcs, "cap_height", 0),
+            getattr(
+                getattr(config, "challenger_npo", None), "type_id", None
+            ),
         )
 
 

@@ -134,9 +134,12 @@ class MmcsGadget:
     ):
         """In-circuit analog of MerkleMmcs.verify_batch on one chain.
 
-        commitment: 8 base-coeff targets of the root digest;
-        dims: (height, width) per matrix (heights powers of two);
-        index_bits: LSB-first bit targets of the opened index in the
+        commitment: 8·2^cap base-coeff targets of the Merkle cap (the
+        root when cap_height = 0; reference `MerkleCapTargets` /
+        `select_cap_entry`, `recursion/src/pcs/mmcs.rs:289-376,545`) —
+        the cap height is DERIVED from the commitment length, like the
+        reference; dims: (height, width) per matrix (heights powers of
+        two); index_bits: LSB-first bit targets of the opened index in the
         TALLEST matrix; opened_rows: per matrix the opened row's wires
         (base coeffs, or ext wires when ext_rows); tag: private-data key
         prefix for (bit, sibling) per compression level.
@@ -145,6 +148,11 @@ class MmcsGadget:
         heights = [h for h, _w in dims]
         max_h = max(heights)
         log_max = max_h.bit_length() - 1
+        n_entries = len(commitment) // self.DIGEST
+        assert n_entries * self.DIGEST == len(commitment)
+        cap_h = n_entries.bit_length() - 1
+        assert 1 << cap_h == n_entries and cap_h <= log_max
+        path_levels = log_max - cap_h
         assert len(index_bits) >= log_max
         by_height: dict[int, list] = {}
         for (h, _w), row in zip(dims, opened_rows):
@@ -159,7 +167,7 @@ class MmcsGadget:
         row_bits: list = []
         h = max_h
         n_rows = 0
-        for level in range(log_max):
+        for level in range(path_levels):
             b.perm_call(
                 self.npo,
                 [None] * self.LIMBS,
@@ -190,14 +198,16 @@ class MmcsGadget:
                 )
                 n_rows += 1
                 row_bits.append(None)
-        self.private_paths.append((tag, log_max))
+        self.private_paths.append((tag, path_levels))
+        cap_bits = index_bits[path_levels:log_max]
         if n_rows == 0:
-            # no path: the leaf digest is the root
+            # no path: the leaf digest is the cap entry (the root when
+            # cap_height = 0)
             last_op = b._chain_last[chain]
             outs = [
                 b.npo_out_wire(last_op, i) for i in range(self.RATE_LIMBS)
             ]
-            self._connect_root(outs, commitment)
+            self._connect_root(outs, commitment, cap_bits)
             return
         # rebuild the final row with root + S exposure: the LAST perm_call
         # above is the final row; expose its outputs and the index sum.
@@ -205,7 +215,7 @@ class MmcsGadget:
         call = b.npos[last_op]
         outs = [b.npo_out_wire(last_op, i) for i in range(self.RATE_LIMBS)]
         call.sum_out = b.g.npo_out(last_op, self.LIMBS)
-        self._connect_root(outs, commitment)
+        self._connect_root(outs, commitment, cap_bits)
         # expected index sum: S starts at the first merkle row's bit and
         # doubles (+bit) per row; roll-in rows contribute bit 0.
         expected = None
@@ -218,17 +228,38 @@ class MmcsGadget:
                 expected = b.mul_add(b.const(2), expected, bit)
         b.connect(call.sum_out, expected)
 
-    def _connect_root(self, out_limbs: list, commitment: list):
-        """Connect the chain's digest limbs to the (8 base-coeff)
-        commitment targets; the recompose is cached per commitment."""
+    def _connect_root(self, out_limbs: list, commitment: list, cap_bits=()):
+        """Connect the chain's digest limbs to the commitment targets —
+        with a Merkle cap, first multiplex the cap entry addressed by the
+        top index bits (reference `select_cap_entry`,
+        `recursion/src/pcs/mmcs.rs:545`); recomposes/selects are cached
+        per (commitment, bits)."""
         b = self.b
-        key = tuple(commitment)
+        key = (tuple(commitment), tuple(cap_bits))
         roots = self._root_cache.get(key)
         if roots is None:
-            roots = [
-                self._recompose(commitment[4 * l : 4 * l + 4])
-                for l in range(self.DIGEST_LIMBS)
+            dl = self.DIGEST_LIMBS
+            dg = self.DIGEST
+            entries = [
+                [
+                    self._recompose(
+                        commitment[e * dg + 4 * l : e * dg + 4 * l + 4]
+                    )
+                    for l in range(dl)
+                ]
+                for e in range(len(commitment) // dg)
             ]
+            # LSB-first halving: bit t picks within pairs at stride 2^t
+            for bit in cap_bits:
+                entries = [
+                    [
+                        b.select(bit, entries[2 * j + 1][l], entries[2 * j][l])
+                        for l in range(dl)
+                    ]
+                    for j in range(len(entries) // 2)
+                ]
+            assert len(entries) == 1
+            roots = entries[0]
             self._root_cache[key] = roots
         for o, r in zip(out_limbs, roots):
             b.connect(o, r)
@@ -236,11 +267,23 @@ class MmcsGadget:
 
 class MmcsGadget4(MmcsGadget):
     """Arity-4 in-circuit MMCS over the W32 table (reference
-    `add_mmcs_verify_arity4`, `circuit/src/ops/mmcs.rs:242-348` /
+    `verify_batch_circuit_arity4`, `circuit/src/ops/mmcs.rs:242-348` /
     `recursion/src/pcs/mmcs.rs:1251`): one chained W32 block per 4-to-1
     compression — HALF the perm rows of the arity-2 path — with the
-    in-table index accumulator stepping S' = 4·S + b + 2·b2 per level.
-    Single height class per commitment (native `MerkleMmcs4`)."""
+    in-table index accumulator stepping S' = 4·S + digit per row.
+
+    Mixed-height batches follow the native `arity4_schedule`
+    (reference `arity4_path_schedule` + `add_arity4_compression_row`,
+    `recursion/src/pcs/mmcs.rs:878-1060`):
+
+      * a step-4 row consumes two index bits (digit = b + 2·b2; siblings
+        private),
+      * a step-2 BRIDGE row consumes one bit (digit = b; one private
+        sibling, chunks 2,3 pinned to CTL zeros),
+      * an INJECTION row compresses the shorter height's side-chain digest
+        in at chunk 1 (CTL), direction private (0,0) — enforced by the
+        placement-vs-CTL conflict and the S binding (digit = 0).
+    """
 
     WIDTH = 32
     RATE = 24
@@ -258,54 +301,85 @@ class MmcsGadget4(MmcsGadget):
         tag,
         ext_rows: bool = False,
     ):
+        from ..stark.merkle import arity4_schedule
+
         b = self.b
-        heights = {h for h, _w in dims}
-        assert len(heights) == 1, "arity-4 gadget: single height"
-        (h,) = heights
-        levels = 0
-        hh = h
-        while hh > 1:
-            assert hh % 4 == 0
-            hh //= 4
-            levels += 1
-        assert len(index_bits) >= 2 * levels
+        heights = [h for h, _w in dims]
+        max_h = max(heights)
+        schedule = arity4_schedule(heights)
+        by_height: dict[int, list] = {}
+        for (h, _w), row in zip(dims, opened_rows):
+            by_height.setdefault(h, []).extend(row)
+        n_bits = sum(2 if s == 4 else 1 for s, _i in schedule)
+        assert len(index_bits) >= n_bits
         chain = b.new_chain("mmcs4_path")
-        values = [v for row in opened_rows for v in row]
         if ext_rows:
-            self.absorb_ext(values, chain)
+            self.absorb_ext(by_height[max_h], chain)
         else:
-            self.absorb(values, chain)
-        for level in range(levels):
+            self.absorb(by_height[max_h], chain)
+        zero = b.zero
+        # digits[i] = base-4 digit expr of merkle row i (None: injection)
+        digits: list = []
+        c = 0
+        lvl = 0  # private-data level counter (step rows only)
+        for step, inject in schedule:
+            if step == 4:
+                inputs = [None] * self.LIMBS
+                digit = b.add(
+                    index_bits[c], b.mul(b.const(2), index_bits[c + 1])
+                )
+                c += 2
+            else:
+                inputs = [None] * 4 + [zero] * 4
+                digit = index_bits[c]
+                c += 1
             b.perm_call(
                 self.npo,
-                [None] * self.LIMBS,
+                inputs,
                 [False] * self.LIMBS,
                 new_start=False,
                 merkle_path=True,
                 merkle_arity=4,
                 chain=chain,
-                tag=(tag, level),
+                tag=(tag, lvl),
             )
-        self.private_paths.append((tag, levels))
+            digits.append(digit)
+            lvl += 1
+            if inject:
+                _c, leaf_op = self._digest_of(by_height[inject], ext_rows)
+                inj = [
+                    b.npo_out_wire(leaf_op, i)
+                    for i in range(self.DIGEST_LIMBS)
+                ]
+                b.perm_call(
+                    self.npo,
+                    [None, None] + inj + [zero] * 4,
+                    [False] * self.LIMBS,
+                    new_start=False,
+                    merkle_path=True,
+                    merkle_arity=4,
+                    chain=chain,
+                )
+                digits.append(None)
+        self.private_paths.append((tag, lvl))
         last_op = b._chain_last[chain]
-        call = b.npos[last_op]
         outs = [
             b.npo_out_wire(last_op, i) for i in range(self.DIGEST_LIMBS)
         ]
-        if levels:
-            call.sum_out = b.g.npo_out(last_op, self.LIMBS)
+        if not digits:
+            self._connect_root(outs, commitment)
+            return
+        call = b.npos[last_op]
+        call.sum_out = b.g.npo_out(last_op, self.LIMBS)
         self._connect_root(outs, commitment)
-        if levels:
-            # S accumulates base-4 digits LSB-first: level l adds
-            # bits[2l] + 2·bits[2l+1]
-            expected = None
-            for level in range(levels):
-                pos = b.add(
-                    index_bits[2 * level],
-                    b.mul(b.const(2), index_bits[2 * level + 1]),
-                )
-                if expected is None:
-                    expected = pos
-                else:
-                    expected = b.mul_add(b.const(4), expected, pos)
-            b.connect(call.sum_out, expected)
+        # expected S: base-4 positional accumulation over all merkle rows
+        # (injection rows contribute digit 0)
+        expected = None
+        for dg in digits:
+            if expected is None:
+                expected = dg if dg is not None else b.zero
+            elif dg is None:
+                expected = b.mul(b.const(4), expected)
+            else:
+                expected = b.mul_add(b.const(4), expected, dg)
+        b.connect(call.sum_out, expected)

@@ -43,7 +43,13 @@ def build_uni_verifier_circuit(
         npo_type_id = npo.type_id
     b = builder
     al = _Alloc(b)
-    ch = CircuitChallenger(b, npo_type_id)
+    ch_npo_id = npo_type_id
+    ch_npo = getattr(config, "challenger_npo", None)
+    if ch_npo is not None:
+        if ch_npo.type_id not in b.enabled_ops:
+            b.enable_op(ch_npo)
+        ch_npo_id = ch_npo.type_id
+    ch = CircuitChallenger(b, ch_npo_id)
     mmcs = MmcsGadget(b, npo_type_id)
 
     ab = air.build()
@@ -53,8 +59,13 @@ def build_uni_verifier_circuit(
     qdeg = 1 << lq
     n = 1 << log_n
 
+    # Merkle caps: commitments are 8·2^cap targets (clamped per tree)
+    cap_cfg = getattr(config.pcs, "cap_height", 0)
+    cap_len = 8 << min(cap_cfg, log_n + P.log_blowup)
     ch.observe(b.const(log_n))
-    trace_commit = al.public_vec(8, lambda pf, i: int(pf.trace_commit[i]))
+    trace_commit = al.public_vec(
+        cap_len, lambda pf, i: int(pf.trace_commit[i])
+    )
     ch.observe_slice(trace_commit)
     app_pos_base = len(al.pub)
     publics = al.public_vec(
@@ -64,7 +75,7 @@ def build_uni_verifier_circuit(
     ch.observe_slice(publics)
     alpha = ch.sample_ext()
     quotient_commit = al.public_vec(
-        8, lambda pf, i: int(pf.quotient_commit[i])
+        cap_len, lambda pf, i: int(pf.quotient_commit[i])
     )
     ch.observe_slice(quotient_commit)
     zeta = ch.sample_ext()

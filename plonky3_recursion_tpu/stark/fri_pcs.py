@@ -157,6 +157,7 @@ class TwoAdicFriPcs:
         salt_rng: np.random.Generator | None = None,
         mesh=None,
         mesh_axis: str = "rows",
+        cap_height: int = 0,
     ):
         """hiding_salt_cols > 0 enables salted (hiding) commitments: every
         distinct LDE height in a commit gets a random salt matrix hashed
@@ -174,7 +175,10 @@ class TwoAdicFriPcs:
         self.E = ext
         self.params = params
         self.use_jit = use_jit
-        self.mmcs = mmcs or MerkleMmcs(field, use_jit=use_jit)
+        self.cap_height = cap_height
+        self.mmcs = mmcs or MerkleMmcs(
+            field, use_jit=use_jit, cap_height=cap_height
+        )
         self.hiding_salt_cols = hiding_salt_cols
         self.salt_rng = salt_rng or np.random.default_rng()
         self.mesh = mesh
@@ -210,7 +214,9 @@ class TwoAdicFriPcs:
             tree = MerkleTree(
                 matrices=[np.asarray(l) for l in ldes_t], layers=layers
             )
-            return PcsProverData(committed, tree, np.asarray(layers[-1][0]))
+            return PcsProverData(
+                committed, tree, self.mmcs.cap_commitment(tree)
+            )
         if self.use_jit and not self.hiding_salt_cols:
             from ..ops.jitk import merkle_layer_heights, round_commit_fn
 
@@ -231,7 +237,9 @@ class TwoAdicFriPcs:
                     tuple((1 << (ln + lb), w) for _s, ln, w in sig)
                 ),
             )
-            return PcsProverData(committed, tree, tree.root)
+            return PcsProverData(
+                committed, tree, self.mmcs.cap_commitment(tree)
+            )
         for shift, evals in mats:
             n, w = evals.shape
             log_n = n.bit_length() - 1
@@ -638,6 +646,9 @@ class TwoAdicFriPcs:
                 and not challenger.input_buffer
                 and bool(schedule)
                 and getattr(challenger, "is_default_poseidon2", False)
+                # the fused chain observes single-root commitments; Merkle
+                # caps fall back to host-sequenced phase commits
+                and self.cap_height == 0
             )
             if chain_ok:
                 # whole phase chain (commits + duplex transcript + folds)
@@ -807,9 +818,11 @@ class TwoAdicFriPcs:
             jobs = []  # (tree, levels)
             for (data, _pts), rlm in zip(rounds, round_log_max):
                 node_idx = [i >> (log_max - rlm) for i in indices]
-                jobs.append((data.tree, rlm, node_idx))
+                levels = rlm - self.mmcs.tree_cap_height(1 << rlm)
+                jobs.append((data.tree, levels, node_idx))
             for ph, a in enumerate(schedule):
-                levels = log_max - offsets[ph] - a
+                log_h = log_max - offsets[ph] - a
+                levels = log_h - self.mmcs.tree_cap_height(1 << log_h)
                 node_idx = [i >> (offsets[ph] + a) for i in indices]
                 jobs.append((commit_trees[ph], levels, node_idx))
             args = []

@@ -79,10 +79,40 @@ class MerkleMmcs:
         field: Monty31,
         params: Poseidon2Params | None = None,
         use_jit: bool = False,
+        cap_height: int = 0,
     ):
+        """cap_height > 0 commits to the MERKLE CAP — the 2^cap_height
+        digests at that depth, flattened to (2^cap_height * 8,) — instead
+        of the root (reference `MerkleTreeMmcs::new(hash, compress,
+        cap_height)` / `MerkleCap`, used by `MerkleCapTargets` in
+        `recursion/src/pcs/fri/targets.rs:348-372`).  Opening paths are
+        cap_height levels shorter; the remaining top index bits select the
+        cap entry.  cap_height=0 keeps the single (8,) root."""
         self.field = field
         self.params = params or poseidon2_params(field, 16)
         self.use_jit = use_jit
+        self.cap_height = cap_height
+
+    def tree_cap_height(self, max_height: int) -> int:
+        """Effective cap height for a commit of tallest height `max_height`
+        (clamped so shallow trees — e.g. late FRI phase trees — stay
+        committable)."""
+        return min(self.cap_height, max_height.bit_length() - 1)
+
+    def cap_commitment(self, tree: MerkleTree) -> np.ndarray:
+        """The tree's commitment under this MMCS's cap height: the flat
+        (2^cap * 8,) cap layer (the (8,) root when cap_height == 0)."""
+        max_h = max(m.shape[0] for m in tree.matrices)
+        cap_h = self.tree_cap_height(max_h)
+        if cap_h == 0:
+            return tree.root
+        cap_layer = (max_h.bit_length() - 1) - cap_h
+        if tree.layers is not None:
+            return np.asarray(tree.layers[cap_layer]).reshape(-1)
+        off = sum(tree.layer_heights[:cap_layer])
+        return np.asarray(
+            tree.dev_flat[off : off + (1 << cap_h)]
+        ).reshape(-1)
 
     def _rows_digest(self, mats_at_h: list, xp) -> np.ndarray:
         rows = xp.concatenate([m for m in mats_at_h], axis=1)
@@ -94,6 +124,12 @@ class MerkleMmcs:
         heights = [m.shape[0] for m in matrices]
         for h in heights:
             assert h & (h - 1) == 0, "heights must be powers of two"
+        cap_h = self.tree_cap_height(max(heights))
+        cap = 1 << cap_h
+        if cap_h:
+            assert min(heights) >= cap, (
+                "cap_height above the smallest matrix height"
+            )
         if self.use_jit:
             from ..ops.jitk import merkle_commit_flat_fn, merkle_layer_heights
 
@@ -107,14 +143,14 @@ class MerkleMmcs:
                 dev_flat=fn(*matrices),
                 layer_heights=merkle_layer_heights(shapes),
             )
-            return tree.root, tree
+            return self.cap_commitment(tree), tree
         by_height: dict[int, list] = {}
         for m in matrices:
             by_height.setdefault(m.shape[0], []).append(m)
         h = max(heights)
         layer = self._rows_digest(by_height[h], xp)
         layers = [layer]
-        while h > 1:
+        while h > cap:
             h //= 2
             left = layer[0::2]
             right = layer[1::2]
@@ -124,7 +160,7 @@ class MerkleMmcs:
                 layer = compress_pair(self.params, layer, inj, xp)
             layers.append(layer)
         tree = MerkleTree(matrices=list(matrices), layers=layers)
-        return np.asarray(layers[-1][0]), tree
+        return np.asarray(layers[-1]).reshape(-1), tree
 
     def open_batch(self, index: int, tree: MerkleTree):
         """Returns (opened_rows per matrix in commit order, sibling path)."""
@@ -137,7 +173,7 @@ class MerkleMmcs:
         siblings = []
         idx = index
         layers = tree.host_layers()
-        for level in range(log_max):
+        for level in range(log_max - self.tree_cap_height(max_h)):
             sib = np.asarray(layers[level][idx ^ 1])
             siblings.append(sib)
             idx >>= 1
@@ -156,7 +192,8 @@ class MerkleMmcs:
         heights = [h for h, _ in dimensions]
         max_h = max(heights)
         log_max = max_h.bit_length() - 1
-        if len(siblings) != log_max:
+        cap_h = self.tree_cap_height(max_h)
+        if len(siblings) != log_max - cap_h:
             return False
         by_height: dict[int, list] = {}
         for (h, _w), row in zip(dimensions, opened_rows):
@@ -179,7 +216,12 @@ class MerkleMmcs:
                 node = compress_pair(
                     self.params, node[None, :], digest_at(h)[None, :], xp
                 )[0]
-        return bool(np.array_equal(node, np.asarray(commitment, dtype=U32)))
+        cap_entries = np.asarray(commitment, dtype=U32).reshape(
+            -1, DIGEST_ELEMS
+        )
+        if cap_entries.shape[0] != 1 << cap_h:
+            return False
+        return bool(np.array_equal(node, cap_entries[idx]))
 
 
 def flatten_ext_matrix(m_ext) -> np.ndarray:
@@ -203,50 +245,120 @@ def compress4(params, children, xp=np):
     return permute(params, state, xp)[..., :DIGEST_ELEMS]
 
 
+def arity4_schedule(heights: list[int]) -> list[tuple[int, int]]:
+    """Per-level (step, inject_height) walk of an arity-4 Merkle tree over
+    power-of-two heights (reference `arity4_path_schedule` /
+    `Arity4PathStep`, `recursion/src/pcs/mmcs.rs:878-956`):
+
+      * step 4 packs four children into one W32 compression,
+      * a step-2 BRIDGE (two children at chunks 0,1; chunks 2,3 zero)
+        arises when an intermediate matrix height lands between two
+        quaternary layers (or fewer than 4 nodes remain),
+      * inject_height != 0 compresses that height class's leaf digest in
+        AFTER the step: compress4(node, digest, 0, 0).
+    """
+    hs = sorted(set(heights), reverse=True)
+    for h in hs:
+        assert h > 0 and h & (h - 1) == 0, "heights must be powers of two"
+    rest = hs[1:]
+    steps = []
+    curr = hs[0]
+    ri = 0
+    while curr > 1:
+        bridge = curr < 4 or (ri < len(rest) and rest[ri] > curr // 4)
+        step = 2 if bridge else 4
+        curr //= step
+        inject = 0
+        if ri < len(rest) and rest[ri] == curr:
+            inject = curr
+            ri += 1
+        steps.append((step, inject))
+    return steps
+
+
 class MerkleMmcs4:
     """Arity-4 Merkle MMCS over the W32 permutation (reference arity-4
     trees, `circuit/src/ops/mmcs.rs:242-348`): leaf rows hash through the
     W32/rate-24 sponge, each level packs FOUR child digests into one W32
     permutation — half the levels (and half the chained perm rows in the
-    recursive verifier) of the arity-2 tree.  Single height class per
-    commit (FRI commit-phase/table-batch shape); heights must satisfy
-    4 | H."""
+    recursive verifier) of the arity-2 tree.  Mixed-height batches follow
+    `arity4_schedule`: bridge levels compress two children with zero pads,
+    shorter matrices' digests are injected as compress4(node, digest, 0, 0)
+    (reference `recursive_arity4_mmcs.rs` mixed-height round trips)."""
 
     def __init__(self, field: Monty31):
         self.field = field
         self.params = poseidon2_params(field, 32)
 
+    def _digest_rows(self, mats: list, xp) -> np.ndarray:
+        rows = xp.concatenate([xp.asarray(m) for m in mats], axis=1)
+        return sponge_hash(self.params, rows, 24, DIGEST_ELEMS, xp)
+
     def commit(self, matrices: list, xp=np):
-        heights = {m.shape[0] for m in matrices}
-        assert len(heights) == 1, "arity-4 MMCS: single height per commit"
-        (h,) = heights
-        rows = xp.concatenate([xp.asarray(m) for m in matrices], axis=1)
-        layer = sponge_hash(self.params, rows, 24, DIGEST_ELEMS, xp)
+        heights = [m.shape[0] for m in matrices]
+        by_h: dict[int, list] = {}
+        for m in matrices:
+            by_h.setdefault(m.shape[0], []).append(m)
+        layer = self._digest_rows(by_h[max(heights)], xp)
         layers = [layer]
-        while h > 1:
-            assert h % 4 == 0, "arity-4 MMCS: height must be a power of 4"
-            layer = compress4(
-                self.params, layer.reshape(h // 4, 4, DIGEST_ELEMS), xp
-            )
+        for step, inject in arity4_schedule(heights):
+            h = layer.shape[0]
+            if step == 4:
+                children = layer.reshape(h // 4, 4, DIGEST_ELEMS)
+            else:
+                pairs = layer.reshape(h // 2, 2, DIGEST_ELEMS)
+                z = xp.zeros((h // 2, 2, DIGEST_ELEMS), dtype=U32)
+                children = xp.concatenate([pairs, z], axis=1)
+            layer = compress4(self.params, children, xp)
             layers.append(layer)
-            h //= 4
-        tree = MerkleTree(matrices=list(matrices), layers=[np.asarray(l) for l in layers])
+            if inject:
+                dig = self._digest_rows(by_h[inject], xp)
+                assert layer.shape[0] == inject
+                z = xp.zeros((inject, 2, DIGEST_ELEMS), dtype=U32)
+                children = xp.concatenate(
+                    [layer[:, None, :], dig[:, None, :], z], axis=1
+                )
+                layer = compress4(self.params, children, xp)
+                layers.append(layer)
+        tree = MerkleTree(
+            matrices=list(matrices), layers=[np.asarray(l) for l in layers]
+        )
         return np.asarray(layers[-1][0]), tree
 
     def open_batch(self, index: int, tree: MerkleTree):
-        opened = [np.asarray(m[index]) for m in tree.matrices]
-        siblings = []  # per level: (3, 8) the OTHER three children in order
+        """Opened rows (per matrix at its own height's row) plus per-STEP
+        sibling stacks (3, 8) — bridge levels carry one real sibling and
+        two zero pads; injection levels need no private data (the verifier
+        rehashes the injected rows itself)."""
+        heights = [m.shape[0] for m in tree.matrices]
+        max_h = max(heights)
+        log_max = max_h.bit_length() - 1
+        opened = [
+            np.asarray(m[index >> (log_max - (m.shape[0].bit_length() - 1))])
+            for m in tree.matrices
+        ]
+        siblings = []
         idx = index
         layers = tree.host_layers()
-        for level in range(len(layers) - 1):
-            group = (idx >> 2) << 2
-            sibs = [
-                np.asarray(layers[level][group + q])
-                for q in range(4)
-                if group + q != idx
-            ]
+        li = 0
+        zero_d = np.zeros(DIGEST_ELEMS, dtype=U32)
+        for step, inject in arity4_schedule(heights):
+            layer = layers[li]
+            li += 1
+            if step == 4:
+                group = (idx >> 2) << 2
+                sibs = [
+                    np.asarray(layer[group + q])
+                    for q in range(4)
+                    if group + q != idx
+                ]
+                idx >>= 2
+            else:
+                sibs = [np.asarray(layer[idx ^ 1]), zero_d, zero_d]
+                idx >>= 1
             siblings.append(np.stack(sibs))
-            idx >>= 2
+            if inject:
+                li += 1
         return opened, siblings
 
     def verify_batch(
@@ -258,22 +370,43 @@ class MerkleMmcs4:
         siblings: list,
         xp=np,
     ) -> bool:
-        rows = np.concatenate(
-            [np.asarray(r, dtype=U32).reshape(-1) for r in opened_rows]
-        )[None, :]
-        node = sponge_hash(self.params, rows, 24, DIGEST_ELEMS, xp)[0]
+        heights = [h for h, _w in dimensions]
+        by_h: dict[int, list] = {}
+        for (h, _w), row in zip(dimensions, opened_rows):
+            by_h.setdefault(h, []).append(
+                np.asarray(row, dtype=U32).reshape(1, -1)
+            )
+
+        def digest_at(h):
+            return self._digest_rows(by_h[h], xp)[0]
+
+        node = digest_at(max(heights))
+        schedule = arity4_schedule(heights)
+        if len(siblings) != len(schedule):
+            return False
         idx = index
-        for sibs in siblings:
-            sibs = np.asarray(sibs, dtype=U32)
-            pos = idx & 3
-            children = np.empty((4, DIGEST_ELEMS), dtype=U32)
-            si = 0
-            for q in range(4):
-                if q == pos:
-                    children[q] = node
-                else:
-                    children[q] = sibs[si]
-                    si += 1
+        for (step, inject), sibs in zip(schedule, siblings):
+            sibs = np.asarray(sibs, dtype=U32).reshape(-1, DIGEST_ELEMS)
+            children = np.zeros((4, DIGEST_ELEMS), dtype=U32)
+            if step == 4:
+                pos = idx & 3
+                si = 0
+                for q in range(4):
+                    if q == pos:
+                        children[q] = node
+                    else:
+                        children[q] = sibs[si]
+                        si += 1
+                idx >>= 2
+            else:
+                pos = idx & 1
+                children[pos] = node
+                children[1 - pos] = sibs[0]
+                idx >>= 1
             node = compress4(self.params, children[None], xp)[0]
-            idx >>= 2
+            if inject:
+                children = np.zeros((4, DIGEST_ELEMS), dtype=U32)
+                children[0] = node
+                children[1] = digest_at(inject)
+                node = compress4(self.params, children[None], xp)[0]
         return bool(np.array_equal(node, np.asarray(commitment, dtype=U32)))

@@ -49,17 +49,30 @@ class StarkConfig:
     field: Monty31
     ext: BinomialExtension  # challenge field
     pcs: TwoAdicFriPcs
+    # Cross-hash support (reference `ChallengerPermConfig`): a factory for
+    # the native transcript challenger (None = default Poseidon2 W16
+    # duplex) plus the NPO whose table replays that permutation in the
+    # recursive verifier circuit (None = the default Poseidon2 NPO).
+    challenger_factory: object = None
+    challenger_npo: object = None
 
     def challenger(self) -> DuplexChallenger:
+        if self.challenger_factory is not None:
+            return self.challenger_factory()
         return DuplexChallenger(self.field)
 
 
 def koala_bear_config(
-    params: FriParams | None = None, use_jit: bool = False, zk: bool = False
+    params: FriParams | None = None,
+    use_jit: bool = False,
+    zk: bool = False,
+    cap_height: int = 0,
 ) -> StarkConfig:
     """zk=True enables hiding proofs (reference `HidingFriPcs`,
     SURVEY.md §2.6): salted Merkle commitments plus a random masking
-    round in the FRI batch (`prove_batch`)."""
+    round in the FRI batch (`prove_batch`).  cap_height commits to Merkle
+    caps instead of roots (reference `MerkleTreeMmcs::new(..., cap_height)`
+    / example `--cap-height` flag)."""
     from ..fields import KOALA_BEAR, ext_field
 
     E = ext_field(KOALA_BEAR, 4)
@@ -72,6 +85,7 @@ def koala_bear_config(
             params or FriParams.testing(),
             use_jit=use_jit,
             hiding_salt_cols=2 * E.D if zk else 0,
+            cap_height=cap_height,
         ),
     )
 
@@ -91,7 +105,10 @@ def koala_bear_quintic_config(
 
 
 def baby_bear_config(
-    params: FriParams | None = None, use_jit: bool = False, zk: bool = False
+    params: FriParams | None = None,
+    use_jit: bool = False,
+    zk: bool = False,
+    cap_height: int = 0,
 ) -> StarkConfig:
     from ..fields import BABY_BEAR, ext_field
 
@@ -105,6 +122,7 @@ def baby_bear_config(
             params or FriParams.testing(),
             use_jit=use_jit,
             hiding_salt_cols=2 * E.D if zk else 0,
+            cap_height=cap_height,
         ),
     )
 

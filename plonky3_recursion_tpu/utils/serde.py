@@ -249,9 +249,13 @@ def validate_batch_proof(proof: BatchProof, config=None):
         ro = np.asarray(proof.random_opening)
         if ro.shape != (2 * d, d):
             raise ValueError(f"random opening shape {ro.shape}")
+    max_cap = 1 << getattr(config.pcs, "cap_height", 0) if config else None
     for arr in commits:
-        if np.asarray(arr).shape != (8,):
+        n = np.asarray(arr).shape
+        if len(n) != 1 or n[0] % 8 or not (e := n[0] // 8) or e & (e - 1):
             raise ValueError("bad commitment shape")
+        if max_cap is not None and e > max_cap:
+            raise ValueError("commitment cap exceeds config cap_height")
     fc = np.asarray(proof.fri.final_coeffs)
     p_bound = config.field.P if config is not None else (1 << 31)
     if np.any(fc >= p_bound):
