@@ -117,20 +117,17 @@ class VerifierCircuitResult:
                 _k, tag, q, ri, log_max, rlm = spec
                 idx = indices[q] >> (log_max - rlm)
                 _rows, sibs = proof.fri.query_proofs[q].input_openings[ri]
-                for lv in range(rlm):
-                    out[(tag, lv)] = {
-                        "bit": (idx >> lv) & 1,
-                        "sibling": np.asarray(sibs[lv], dtype=U32),
-                    }
             else:  # ("ph", tag, q, ph, shift, levels)
-                _k, tag, q, ph, shift, levels = spec
+                _k, tag, q, ph, shift, _levels = spec
                 idx = indices[q] >> shift
                 _row, sibs = proof.fri.query_proofs[q].commit_steps[ph]
-                for lv in range(levels):
-                    out[(tag, lv)] = {
-                        "bit": (idx >> lv) & 1,
-                        "sibling": np.asarray(sibs[lv], dtype=U32),
-                    }
+            # with Merkle caps the native path is cap_height levels
+            # shorter; the circuit's chain length matches len(sibs)
+            for lv in range(len(sibs)):
+                out[(tag, lv)] = {
+                    "bit": (idx >> lv) & 1,
+                    "sibling": np.asarray(sibs[lv], dtype=U32),
+                }
         return out
 
 
@@ -213,7 +210,15 @@ def build_batch_verifier_circuit(
         npo_type_id = npo.type_id
     b = builder
     al = _Alloc(b)
-    ch = CircuitChallenger(b, npo_type_id)
+    # cross-hash (reference ChallengerPermConfig): the transcript replay
+    # may ride a different permutation table than the Merkle paths
+    ch_npo_id = npo_type_id
+    ch_npo = getattr(config, "challenger_npo", None)
+    if ch_npo is not None:
+        if ch_npo.type_id not in b.enabled_ops:
+            b.enable_op(ch_npo)
+        ch_npo_id = ch_npo.type_id
+    ch = CircuitChallenger(b, ch_npo_id)
     mmcs = MmcsGadget(b, npo_type_id)
 
     names = sorted({lk.name for _a, lks in airs_lookups for lk in lks})
@@ -247,10 +252,23 @@ def build_batch_verifier_circuit(
     # `StarkVerifierInputs` slot 3, `public_inputs.rs:328-343`) so the
     # circuit structure stays independent of the inner commitment value —
     # the prerequisite for verifier-circuit fixed points across layers.
+    # Merkle caps: each commitment is 8·2^cap targets (cap clamped per
+    # tree height, matching the native MMCS; reference MerkleCapTargets)
+    cap_cfg = getattr(config.pcs, "cap_height", 0)
+
+    def _cap_len(log_h: int) -> int:
+        return 8 << min(cap_cfg, log_h)
+
+    max_lm = max(s.log_n for s in shapes) + P.log_blowup
     prep_commit_t = None
     if common.prep_commitment is not None:
+        prep_lm = (
+            max(shapes[i].log_n for i, _l, _w in common.prep_shapes)
+            + P.log_blowup
+        )
         prep_commit_t = al.public_vec(
-            8, lambda pf, i: int(np.asarray(pf.prep_commitment)[i])
+            _cap_len(prep_lm),
+            lambda pf, i: int(np.asarray(pf.prep_commitment)[i]),
         )
         ch.observe_slice(prep_commit_t)
     # ZK (hiding) inner proofs: the random masking round's commitment is
@@ -259,11 +277,12 @@ def build_batch_verifier_circuit(
     random_commit_t = None
     if zk:
         random_commit_t = al.private_vec(
-            8, lambda pf, i: int(np.asarray(pf.random_commit)[i])
+            _cap_len(max_lm),
+            lambda pf, i: int(np.asarray(pf.random_commit)[i]),
         )
         ch.observe_slice(random_commit_t)
     trace_commit = al.private_vec(
-        8, lambda pf, i: int(pf.trace_commit[i])
+        _cap_len(max_lm), lambda pf, i: int(pf.trace_commit[i])
     )
     ch.observe_slice(trace_commit)
     inner_publics = []
@@ -291,11 +310,28 @@ def build_batch_verifier_circuit(
     has_perm = any(lks for _a, lks in airs_lookups)
     term_targets: dict[int, int] = {}
     if has_perm:
-        perm_commit = al.private_vec(8, lambda pf, i: int(pf.perm_commit[i]))
+        perm_lm = (
+            max(
+                shapes[i].log_n
+                for i, (_a, lks) in enumerate(airs_lookups)
+                if lks
+            )
+            + P.log_blowup
+        )
+        perm_commit = al.private_vec(
+            _cap_len(perm_lm), lambda pf, i: int(pf.perm_commit[i])
+        )
         ch.observe_slice(perm_commit)
-        for k, (ii, _lks) in enumerate(
-            [(i, lks) for i, (_a, lks) in enumerate(airs_lookups) if lks]
-        ):
+        # one terminal per (instance, GLOBAL lookup), flattened in
+        # instance order — mirrors the native proof layout
+        flat_gl = [
+            (i, lk)
+            for i, (_a, lks) in enumerate(airs_lookups)
+            for lk in lks
+            if lk.kind == "global"
+        ]
+        flat_tts = []
+        for k, (ii, _lk) in enumerate(flat_gl):
             coeffs = al.private_vec(
                 d,
                 _bind(
@@ -306,17 +342,23 @@ def build_batch_verifier_circuit(
                 ),
             )
             ch.observe_slice(coeffs)
-            term_targets[ii] = b.recompose_base_coeffs_to_ext(coeffs)
+            tt = b.recompose_base_coeffs_to_ext(coeffs)
+            flat_tts.append(tt)
+            term_targets.setdefault(ii, []).append(tt)
     alpha = ch.sample_ext()
     quotient_commit = al.private_vec(
-        8, lambda pf, i: int(pf.quotient_commit[i])
+        _cap_len(max_lm), lambda pf, i: int(pf.quotient_commit[i])
     )
     ch.observe_slice(quotient_commit)
     zeta = ch.sample_ext()
 
-    # ----- lookup terminal sum == 0 -----
+    # ----- lookup terminal sums == 0, per bus name -----
     if term_targets:
-        b.assert_zero(b.add_many(list(term_targets.values())))
+        by_name: dict[str, list] = {}
+        for (_ii, lk), tt in zip(flat_gl, flat_tts):
+            by_name.setdefault(lk.name, []).append(tt)
+        for tts in by_name.values():
+            b.assert_zero(b.add_many(tts))
 
     # ----- native-terminal recomputation for static/public tables -----
     flat_publics = [t for ts in inner_publics for t in ts]
@@ -335,7 +377,8 @@ def build_batch_verifier_circuit(
             # idx + Σ_j v_j·α^{1+j} as one Horner chain
             comp = b.horner_eval(a_t, [b.const(idx)] + vals)
             acc = b.add(acc, b.div(b.const(mult % p), b.sub(b_t, comp)))
-        b.connect(acc, term_targets[inst_idx])
+        # static tables carry the single WitnessChecks bus terminal
+        b.connect(acc, term_targets[inst_idx][0])
 
     # ----- allocate opened values (private) -----
     def tr_open(pf, ii, which, c, j):
@@ -437,7 +480,7 @@ def build_batch_verifier_circuit(
             "challenges": [
                 challenges[nm][j] for nm in names for j in (0, 1)
             ],
-            "terminals": [term_targets[ii]] if ii in term_targets else [],
+            "terminals": term_targets.get(ii, []),
             "sels": {"first": first, "last": last, "transition": transition},
         }
         folded = fold_constraints_circuit(b, ab.constraints, bindings, alpha)
@@ -636,10 +679,14 @@ def _verify_fri_circuit(config, b, al, ch, mmcs, rounds, P, tag_ns: str = ""):
     def phase_digest(pf, ph, i):
         return int(pf.fri.commit_digests[ph][i])
 
+    cap_cfg = getattr(config.pcs, "cap_height", 0)
     betas = []
     phase_commits = []
     for ph in range(num_phases):
-        dig = al.private_vec(8, _bind(phase_digest, ph))
+        ph_log_h = log_max - offsets[ph] - schedule[ph]
+        dig = al.private_vec(
+            8 << min(cap_cfg, ph_log_h), _bind(phase_digest, ph)
+        )
         phase_commits.append(dig)
         ch.observe_slice(dig)
         if P.commit_pow_bits:

@@ -15,15 +15,17 @@ observation order, `recursion/src/verifier/batch_stark.rs:522-600`):
   3. observe trace commitment; per instance observe public values
   4. per lookup name (sorted): sample α_L, β_L
   5. observe permutation commitment; per instance observe its lookup
-     terminal (expected_cumulated, extension coeffs)
+     terminals (expected_cumulated, extension coeffs), one per GLOBAL
+     lookup in lookup order
   6. sample α; observe quotient commitment; sample ζ
   7. PCS open rounds in fixed order: trace, preprocessed, permutation,
      quotient — trace/prep/perm at [ζ, ζ·g_i] per instance, chunks at [ζ]
 
-Divergence from the reference noted for later parity work: one accumulator /
-terminal per table covering all its lookups (the reference keeps one
-LookupData terminal per named lookup per table; with the single global
-WitnessChecks bus these coincide).
+Lookups follow the reference's per-lookup LookupData layout: each lookup
+owns an accumulator column + aux columns; GLOBAL lookups carry one
+terminal each (balanced per name over all tables), LOCAL lookups close
+in-table (accumulator pinned to 0 on the last row, reference p3-lookup
+`Kind::Local`).
 """
 
 from __future__ import annotations
@@ -45,6 +47,7 @@ from .lookups import (
     add_lookup_constraints,
     check_lookups_balance,
     generate_perm_columns,
+    global_lookups,
     num_perm_cols,
 )
 from .merkle import flatten_ext_matrix
@@ -247,24 +250,31 @@ def prove_batch(
         }
         if pcs.use_jit:
             continue  # jit instances run in one fused call below
-        perm, term = generate_perm_columns(
+        perm, terms = generate_perm_columns(
             F, E, inst.lookups, tb, n, challenges, xp
         )
         perm_mats.append((i, np.asarray(perm)))
-        terminals.append((i, np.asarray(term)))
+        terminals.append((i, [np.asarray(t) for t in terms]))
     if pcs.use_jit:
         # ONE device program for EVERY instance's permutation columns
         with_lk = [
             (i, inst) for i, inst in enumerate(instances) if inst.lookups
         ]
-        for (i, _inst), (perm, term) in zip(
+        for (i, _inst), (perm, terms) in zip(
             with_lk, _perm_cols_all_jit(config, with_lk, names, challenges)
         ):
             perm_mats.append((i, perm))  # device-resident
-            terminals.append((i, np.asarray(term)))
+            terminals.append((i, [np.asarray(t) for t in terms]))
     _perm_span.__exit__(None, None, None)
     if debug_lookups and terminals:
-        check_lookups_balance([t for _i, t in terminals], E)
+        check_lookups_balance(
+            [
+                (lk.name, t)
+                for i, ts in terminals
+                for lk, t in zip(global_lookups(instances[i].lookups), ts)
+            ],
+            E,
+        )
     perm_data = None
     if perm_mats:
         with _span("commit_perm"):
@@ -272,8 +282,9 @@ def prove_batch(
                 [(1, flatten_ext_matrix(pm)) for _i, pm in perm_mats], xp
             )
         ch.observe_slice(perm_data.commitment)
-        for _i, t in terminals:
-            ch.observe_slice(np.asarray(t))
+        for _i, ts in terminals:
+            for t in ts:
+                ch.observe_slice(np.asarray(t))
     alpha = ch.sample_ext(E)
     # quotient per instance
     chunk_mats = []
@@ -286,9 +297,9 @@ def prove_batch(
         m = n << lq
         if pcs.use_jit:
             pm = next((pm for j, pm in perm_mats if j == i), None)
-            term = next((t for j, t in terminals if j == i), None)
+            terms = next((ts for j, ts in terminals if j == i), None)
             q = _quotient_jit(
-                config, inst, b, s, names, challenges, alpha, pm, term
+                config, inst, b, s, names, challenges, alpha, pm, terms
             )
             qdeg = 1 << lq
             wq = F.two_adic_generator(s.log_n + lq)
@@ -353,9 +364,9 @@ def prove_batch(
                 0: lde_perm,
                 1: xp.roll(lde_perm, -(1 << lq), axis=0),
             }
-            term = next(t for j, t in terminals if j == i)
+            terms = next(ts for j, ts in terminals if j == i)
             bindings["terminals"] = [
-                xp.broadcast_to(xp.asarray(term), (E.D,))
+                xp.broadcast_to(xp.asarray(t), (E.D,)) for t in terms
             ]
         ev = Evaluator(F, E, xp)
         folded = _fold_constraints(E, b, ev, bindings, alpha, xp)
@@ -430,7 +441,9 @@ def prove_batch(
         prep_openings=prep_openings,
         perm_openings=perm_openings,
         quotient_chunks=qchunks,
-        lookup_terminals=[(i, np.asarray(t)) for i, t in terminals],
+        lookup_terminals=[
+            (i, np.asarray(t)) for i, ts in terminals for t in ts
+        ],
         publics=[list(inst.publics) for inst in instances],
         fri=fri_proof,
         prep_commitment=(
@@ -513,7 +526,19 @@ def verify_batch(
         a = ch.sample_ext(E)
         b2 = ch.sample_ext(E)
         challenges[nm] = (a, b2)
-    term_by_inst = dict(proof.lookup_terminals)
+    # terminals arrive flattened [(inst_idx, (D,)), …] — one entry per
+    # GLOBAL lookup of each instance, in instance order; enforce that
+    # exact shape before consuming them
+    expect_seq = [
+        i
+        for i, (_a, lks) in enumerate(airs_lookups)
+        for _lk in global_lookups(lks)
+    ]
+    if [i for i, _t in proof.lookup_terminals] != expect_seq:
+        raise ValueError("lookup terminal layout mismatch")
+    terms_by_inst: dict[int, list] = {}
+    for i, t in proof.lookup_terminals:
+        terms_by_inst.setdefault(i, []).append(np.asarray(t, dtype=U32))
     if proof.perm_commit is not None:
         ch.observe_slice(proof.perm_commit)
         for _i, t in proof.lookup_terminals:
@@ -521,9 +546,16 @@ def verify_batch(
     alpha = ch.sample_ext(E)
     ch.observe_slice(proof.quotient_commit)
     zeta = ch.sample_ext(E)
-    # global bus balance
+    # per-name bus balance (reference per-lookup terminals)
     if proof.lookup_terminals:
-        check_lookups_balance([t for _i, t in proof.lookup_terminals], E)
+        check_lookups_balance(
+            [
+                (lk.name, t)
+                for i, ts in terms_by_inst.items()
+                for lk, t in zip(global_lookups(airs_lookups[i][1]), ts)
+            ],
+            E,
+        )
     # per-instance constraint check at ζ
     prep_by_inst = {i: (l, nx) for i, l, nx in proof.prep_openings}
     perm_by_inst = {i: (l, nx) for i, l, nx in proof.perm_openings}
@@ -575,7 +607,7 @@ def verify_batch(
                 0: _recompose_rows(E, np.asarray(pl), s.num_perm_cols),
                 1: _recompose_rows(E, np.asarray(pn), s.num_perm_cols),
             }
-            bindings["terminals"] = [np.asarray(term_by_inst[i], dtype=U32)]
+            bindings["terminals"] = terms_by_inst.get(i, [])
         ev = Evaluator(F, E, np)
         folded = _fold_constraints(E, b, ev, bindings, alpha, np)
         lhs = E.mul(folded, sels["inv_vanishing"], np)
@@ -748,7 +780,7 @@ def _perm_cols_all_jit(config, with_lk, names, challenges):
     return fn(chal, *args)
 
 
-def _quotient_jit(config, inst, builder, shape, names, challenges, alpha, pm, term):
+def _quotient_jit(config, inst, builder, shape, names, challenges, alpha, pm, terms):
     """Device quotient evaluation, compiled per instance shape."""
     import jax.numpy as jnp
 
@@ -761,6 +793,7 @@ def _quotient_jit(config, inst, builder, shape, names, challenges, alpha, pm, te
     m = n << lq
     wp = inst.preprocessed.shape[1] if inst.preprocessed is not None else 0
     npc = s.num_perm_cols if pm is not None else 0
+    n_terms = len(terms) if terms is not None else 0
     n_pub = len(inst.publics)
     key = (
         "quot",
@@ -769,6 +802,7 @@ def _quotient_jit(config, inst, builder, shape, names, challenges, alpha, pm, te
         lq,
         wp,
         npc,
+        n_terms,
         n_pub,
         tuple(names),
     )
@@ -807,7 +841,7 @@ def _quotient_jit(config, inst, builder, shape, names, challenges, alpha, pm, te
                 "perm": {},
                 "publics": [pubs[k] for k in range(n_pub)],
                 "challenges": [chal[k] for k in range(2 * len(names))],
-                "terminals": [term_arr] if npc else [],
+                "terminals": [term_arr[g] for g in range(n_terms)],
                 "sels": {
                     k: ("base", jnp.asarray(v)) for k, v in sels.items()
                 },
@@ -848,7 +882,9 @@ def _quotient_jit(config, inst, builder, shape, names, challenges, alpha, pm, te
         [challenges[nm][j] for nm in names for j in (0, 1)]
     ).astype(U32) if names else np.zeros((0, E.D), dtype=U32)
     term_arr = (
-        np.asarray(term, dtype=U32) if term is not None else np.zeros(E.D, dtype=U32)
+        np.stack([np.asarray(t, dtype=U32) for t in terms])
+        if n_terms
+        else np.zeros((1, E.D), dtype=U32)
     )
     # stays device-resident: the quotient chunks are committed (and only
     # committed) on device, so downloading here would round-trip ~MBs per

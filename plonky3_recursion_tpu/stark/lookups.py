@@ -49,13 +49,24 @@ class Interaction:
 class Lookup:
     name: str  # e.g. "WitnessChecks"; determines challenge binding
     interactions: list  # list[Interaction]
+    kind: str = "global"  # "global": cross-table bus with a per-lookup
+    # terminal summing to 0 over all tables; "local": the argument closes
+    # WITHIN this table — the accumulator is constrained to 0 on the last
+    # row and no terminal appears in the proof (reference p3-lookup
+    # `Kind::{Global(name), Local}`, SURVEY.md §2.6).
 
     def num_aux_cols(self) -> int:
         return (len(self.interactions) + PAIR_BATCH - 1) // PAIR_BATCH
 
 
 def num_perm_cols(lookups: list[Lookup]) -> int:
-    return 1 + sum(lk.num_aux_cols() for lk in lookups) if lookups else 0
+    """Permutation width: per lookup one accumulator column + its aux
+    columns (reference per-lookup LookupData layout)."""
+    return sum(1 + lk.num_aux_cols() for lk in lookups)
+
+
+def global_lookups(lookups: list[Lookup]) -> list[Lookup]:
+    return [lk for lk in lookups if lk.kind == "global"]
 
 
 def add_lookup_constraints(
@@ -68,25 +79,26 @@ def add_lookup_constraints(
 
     `builder` must have been created with num_perm_ext = num_perm_cols and
     enough challenge slots; challenge_idx maps lookup name -> index of its α
-    (β is at index+1).  One Terminal per call (index terminal_base).
+    (β is at index+1).  Each GLOBAL lookup binds its accumulator's last row
+    to its own Terminal (indices terminal_base, terminal_base+1, … in
+    lookup order); a LOCAL lookup's accumulator must close to zero.
     """
-    if not lookups:
-        return
-    acc = builder.perm_local[0]
-    acc_next = builder.perm_next[0]
-    aux_local = builder.perm_local[1:]
-    aux_next = builder.perm_next[1:]
-    col = 0
+    base = 0
+    term_idx = terminal_base
     for lk in lookups:
+        acc = builder.perm_local[base]
+        acc_next = builder.perm_next[base]
+        aux_local = builder.perm_local[base + 1 :]
+        aux_next = builder.perm_next[base + 1 :]
         alpha = builder.challenges[challenge_idx[lk.name]]
         beta = builder.challenges[challenge_idx[lk.name] + 1]
+        col = 0
         for start in range(0, len(lk.interactions), PAIR_BATCH):
             batch = lk.interactions[start : start + PAIR_BATCH]
             denoms = []
             mults = []
             for inter in batch:
                 compressed = None
-                apow: SExpr = None
                 for k, t in enumerate(inter.values):
                     term = _lift(t)
                     for _ in range(k):
@@ -103,14 +115,19 @@ def add_lookup_constraints(
                     - (mults[0] * denoms[1] + mults[1] * denoms[0])
                 )
             col += 1
-    total_local = aux_local[0]
-    total_next = aux_next[0]
-    for c in range(1, col):
-        total_local = total_local + aux_local[c]
-        total_next = total_next + aux_next[c]
-    builder.when_first_row().assert_zero(acc - total_local)
-    builder.when_transition().assert_zero(acc_next - acc - total_next)
-    builder.when_last_row().assert_zero(acc - Terminal(terminal_base))
+        total_local = aux_local[0]
+        total_next = aux_next[0]
+        for c in range(1, col):
+            total_local = total_local + aux_local[c]
+            total_next = total_next + aux_next[c]
+        builder.when_first_row().assert_zero(acc - total_local)
+        builder.when_transition().assert_zero(acc_next - acc - total_next)
+        if lk.kind == "global":
+            builder.when_last_row().assert_zero(acc - Terminal(term_idx))
+            term_idx += 1
+        else:
+            builder.when_last_row().assert_zero(acc)
+        base += 1 + col
 
 
 def _mod_cumsum_ext(F: Monty31, arr, xp):
@@ -135,11 +152,17 @@ def generate_perm_columns(
 
     trace_bindings: Evaluator bindings for the main/preprocessed traces
     (natural row order, offset 1 = roll(-1)).  challenges[name] = (α, β).
+
+    Returns (perm, terminals): perm stacks [acc, aux…] per lookup in
+    order; terminals holds one (D,) value per GLOBAL lookup (local
+    lookups close in-table and carry no terminal).
     """
     ev = Evaluator(F, E, xp)
-    cols = []
+    stacked = []
+    terminals = []
     for lk in lookups:
         alpha, beta = challenges[lk.name]
+        cols = []
         for start in range(0, len(lk.interactions), PAIR_BATCH):
             batch = lk.interactions[start : start + PAIR_BATCH]
             aux = None
@@ -168,21 +191,35 @@ def generate_perm_columns(
                     term = E.mul(inv_d, mval, xp)
                 aux = term if aux is None else E.add(aux, term, xp)
             cols.append(aux)
-    total = cols[0]
-    for c in cols[1:]:
-        total = E.add(total, c, xp)
-    acc = _mod_cumsum_ext(F, total, xp)
-    perm = xp.stack([acc] + cols, axis=1)  # (n, 1+aux, D)
-    terminal = acc[-1] if xp is not np else np.asarray(acc[-1])
-    return perm, terminal
+        total = cols[0]
+        for c in cols[1:]:
+            total = E.add(total, c, xp)
+        acc = _mod_cumsum_ext(F, total, xp)
+        stacked.append(xp.stack([acc] + cols, axis=1))
+        if lk.kind == "global":
+            terminals.append(
+                acc[-1] if xp is not np else np.asarray(acc[-1])
+            )
+    perm = xp.concatenate(stacked, axis=1)  # (n, Σ(1+aux), D)
+    return perm, terminals
 
 
 def check_lookups_balance(terminals: list[np.ndarray], E, raise_on_fail=True):
-    """Native bus-balance debugger (reference `debug_util::check_lookups`)."""
-    total = E.zeros((), np)
+    """Native bus-balance debugger (reference `debug_util::check_lookups`).
+
+    Accepts plain terminal arrays (one implicit bus) or (name, terminal)
+    pairs — pairs are balanced PER NAME, matching the reference's
+    per-lookup terminals."""
+    by_name: dict[str, object] = {}
     for t in terminals:
-        total = E.add(total, np.asarray(t, dtype=U32), np)
-    ok = not np.any(total)
-    if raise_on_fail and not ok:
-        raise ValueError(f"lookup bus imbalance: terminal sum {total}")
-    return ok
+        if isinstance(t, tuple):
+            nm, val = t
+        else:
+            nm, val = "", t
+        prev = by_name.get(nm)
+        val = np.asarray(val, dtype=U32)
+        by_name[nm] = val if prev is None else E.add(prev, val, np)
+    bad = {nm: tot for nm, tot in by_name.items() if np.any(tot)}
+    if raise_on_fail and bad:
+        raise ValueError(f"lookup bus imbalance: terminal sums {bad}")
+    return not bad

@@ -165,3 +165,112 @@ def test_batch_jnp_matches_np():
     assert np.array_equal(
         np.asarray(p1.fri.final_coeffs), np.asarray(p2.fri.final_coeffs)
     )
+
+
+# ----- lookup kinds: local lookups + per-lookup terminals (reference
+# p3-lookup `Kind::{Global(name), Local}`, SURVEY.md §2.6) -----
+
+
+class PermPairAir(Air):
+    """Rows (a, b) where column b is a permutation of column a — proven by
+    a LOCAL lookup (send a / receive b on the same in-table bus)."""
+
+    width_main = 2
+    num_publics = 0
+
+    def eval(self, b):
+        pass
+
+
+def local_perm_lookup():
+    return Lookup(
+        "LocalPerm",
+        [
+            Interaction([Var("main", 0, 0)], 1),
+            Interaction([Var("main", 1, 0)], -1),
+        ],
+        kind="local",
+    )
+
+
+def make_local_instance(F, tamper=False):
+    n = 8
+    a = ((np.arange(n, dtype=np.uint32) * 11 + 5) % F.P).astype(np.uint32)
+    bcol = a[np.random.default_rng(7).permutation(n)].copy()
+    if tamper:
+        bcol[2] ^= 1
+    return StarkInstance(
+        PermPairAir(),
+        np.stack([a, bcol], axis=1),
+        [],
+        lookups=[local_perm_lookup()],
+    )
+
+
+def test_local_lookup_roundtrip():
+    config = koala_bear_config()
+    instances = make_instances(config.field) + [
+        make_local_instance(config.field)
+    ]
+    als = airs_lookups() + [(PermPairAir(), [local_perm_lookup()])]
+    common = commit_preprocessed(config, instances)
+    proof = prove_batch(config, instances, common, debug_lookups=True)
+    # local lookups carry NO terminal in the proof
+    assert [i for i, _t in proof.lookup_terminals] == [0, 1]
+    assert verify_batch(config, als, proof, common)
+
+
+def test_local_lookup_imbalance_rejected():
+    config = koala_bear_config()
+    instances = make_instances(config.field) + [
+        make_local_instance(config.field, tamper=True)
+    ]
+    als = airs_lookups() + [(PermPairAir(), [local_perm_lookup()])]
+    common = commit_preprocessed(config, instances)
+    # the local accumulator's last row is nonzero -> constraint fails
+    proof = prove_batch(config, instances, common)
+    with pytest.raises(ValueError, match="quotient/constraint"):
+        verify_batch(config, als, proof, common)
+
+
+def second_bus_send():
+    return Lookup(
+        "PairBus", [Interaction([Var("main", 0, 0)], 1)]
+    )
+
+
+def second_bus_recv():
+    return Lookup(
+        "PairBus", [Interaction([Var("main", 0, 0)], -1)]
+    )
+
+
+def test_per_lookup_terminals_two_buses():
+    """A table with TWO global lookups gets two accumulators and two
+    terminals; balance holds per bus name."""
+    config = koala_bear_config()
+    F = config.field
+    instances = make_instances(F)
+    # sender also sends col 0 on a second bus; fib receives it back
+    n = 8
+    idx = np.arange(n, dtype=np.uint32)
+    echo = np.stack([idx, idx], axis=1)
+    instances[0].lookups = [send_lookup(), second_bus_send()]
+    instances.append(
+        StarkInstance(PermPairAir(), echo, [], lookups=[second_bus_recv()])
+    )
+    als = airs_lookups() + [(PermPairAir(), [second_bus_recv()])]
+    als[0] = (SenderAir(), [send_lookup(), second_bus_send()])
+    common = commit_preprocessed(config, instances)
+    proof = prove_batch(config, instances, common, debug_lookups=True)
+    # flattened per-global-lookup terminals: inst 0 twice, inst 1, inst 3
+    assert [i for i, _t in proof.lookup_terminals] == [0, 0, 1, 3]
+    assert verify_batch(config, als, proof, common)
+    # tamper ONE bus's terminal: per-name balance must reject it even if
+    # the tampering would cancel under a single summed check
+    t0 = proof.lookup_terminals[1][1].copy()
+    t3 = proof.lookup_terminals[3][1].copy()
+    proof.lookup_terminals[1] = (0, (t0 + 1) % F.P)
+    proof.lookup_terminals[3] = (3, (t3 - 1) % F.P)
+    with pytest.raises(ValueError):
+        verify_batch(config, als, proof, common)

@@ -240,7 +240,7 @@ def test_pcs_recursion_backend_dispatch():
     fp_explicit = inner_fingerprint(config, inner, backend)
     assert fp_default == fp_explicit
     key = backend.fingerprint_key(config)
-    assert key[0] == "fri" and len(key) == 8
+    assert key[0] == "fri" and len(key) == 10
     other = koala_bear_config(FriParams.standard(124))
     assert backend.fingerprint_key(other) != key
 
