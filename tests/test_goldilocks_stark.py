@@ -1,0 +1,110 @@
+"""Goldilocks native STARK pipeline (reference goldilocks() config +
+goldilocks.rs Fibonacci workload: D=2 extension, Poseidon2 W8,
+4-element digests)."""
+
+import numpy as np
+import pytest
+
+from plonky3_recursion_tpu.stark.goldilocks_stark import (
+    GL,
+    GLE,
+    GlFibAir,
+    GlFriParams,
+    GlFriPcs,
+    P_GOLDILOCKS,
+    gl_domain_points,
+    gl_intt,
+    gl_ntt,
+    gl_permute,
+    gl_prove,
+    gl_verify,
+    goldilocks_config,
+)
+
+
+def _fib_trace(n: int):
+    rows = []
+    a, b = 0, 1
+    for _ in range(n):
+        rows.append((a, b))
+        a, b = b, (a + b) % P_GOLDILOCKS
+    return GL.from_ints([v for r in rows for v in r]).reshape(n, 2, 2), rows
+
+
+def test_gl_poseidon2_permutes():
+    rng = np.random.default_rng(0)
+    s = GL.rand(rng, (3, 8))
+    out = gl_permute(s)
+    assert out.shape == (3, 8, 2)
+    # deterministic + injective-looking (distinct inputs -> distinct out)
+    assert np.array_equal(out, gl_permute(s))
+    assert not np.array_equal(out[0], out[1])
+    # all outputs canonical
+    ints = GL.to_ints(out)
+    assert all(0 <= int(v) < P_GOLDILOCKS for v in ints.reshape(-1))
+
+
+def test_gl_pcs_commit_open_verify_roundtrip():
+    rng = np.random.default_rng(1)
+    pcs = GlFriPcs(GlFriParams.testing())
+    evals = GL.rand(rng, (16, 3))
+    data = pcs.commit([(1, evals)])
+    ch = goldilocks_config().challenger()
+    zeta = np.stack([GL.rand(rng, ()), GL.rand(rng, ())])
+    opened, fri = pcs.open([(data, [[zeta]])], ch)
+    chv = goldilocks_config().challenger()
+    rounds_v = [(data.commitment, [(4, [(zeta, opened[0][0][0])])])]
+    assert pcs.verify(rounds_v, fri, chv)
+    # claimed evaluation must match a direct coefficient evaluation
+    want = pcs.eval_at_point(data.matrices[0], zeta)
+    assert np.array_equal(np.asarray(opened[0][0][0]), np.asarray(want))
+    # tampered claimed opening rejected
+    bad = np.asarray(opened[0][0][0]).copy()
+    bad[0, 0, 0] ^= 1
+    chb = goldilocks_config().challenger()
+    with pytest.raises(ValueError):
+        pcs.verify([(data.commitment, [(4, [(zeta, bad)])])], fri, chb)
+
+
+def test_gl_fibonacci_uni_stark():
+    n = 16
+    trace, rows = _fib_trace(n)
+    publics = [0, 1, rows[-1][1]]
+    config = goldilocks_config()
+    proof = gl_prove(config, GlFibAir(), trace, publics)
+    assert gl_verify(config, GlFibAir(), proof, publics)
+
+    # wrong public input -> constraint check fails
+    with pytest.raises(ValueError, match="quotient/constraint"):
+        gl_verify(
+            config, GlFibAir(), proof, [0, 1, (rows[-1][1] + 1) % P_GOLDILOCKS]
+        )
+
+    # tampered trace opening -> FRI/commitment rejects
+    import dataclasses as dc
+
+    bad = dc.replace(proof)
+    tl = np.asarray(bad.trace_local).copy()
+    tl[0, 0, 0] ^= 1
+    bad.trace_local = tl
+    with pytest.raises(ValueError):
+        gl_verify(config, GlFibAir(), bad, publics)
+
+    # tampered final poly -> rejected
+    bad2 = dc.replace(proof)
+    fc = np.asarray(bad2.fri.final_coeffs).copy()
+    fc[0, 0, 0] ^= 1
+    bad2 = dc.replace(
+        proof, fri=dc.replace(proof.fri, final_coeffs=fc)
+    )
+    with pytest.raises(ValueError):
+        gl_verify(config, GlFibAir(), bad2, publics)
+
+
+def test_gl_fibonacci_larger_trace():
+    n = 64
+    trace, rows = _fib_trace(n)
+    publics = [0, 1, rows[-1][1]]
+    config = goldilocks_config()
+    proof = gl_prove(config, GlFibAir(), trace, publics)
+    assert gl_verify(config, GlFibAir(), proof, publics)
