@@ -36,6 +36,15 @@ class CircuitChallenger:
         self.b = builder
         self.npo = npo_type_id
         plugin, _cfg = builder.enabled_ops[npo_type_id]
+        # width-generic duplex sized from the plugin's permutation
+        # (reference preset family: rate = width − 8-element capacity)
+        params = getattr(plugin, "params", None)
+        if params is not None:
+            d = getattr(plugin, "d", 4)
+            self.WIDTH = params.width
+            self.RATE = params.width - 8
+            self.LIMBS = params.width // d
+            self.RATE_LIMBS = self.RATE // d
         # hash-agnostic dispatch (reference ChallengerPermConfig): plugins
         # without in-table chaining (e.g. the Poseidon1 table) fall back to
         # full bus round-trips per duplex

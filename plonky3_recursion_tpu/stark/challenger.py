@@ -77,6 +77,10 @@ class DuplexChallenger:
         # fused FRI phase chain (fri_pcs); custom perms must stay on host
         self.is_default_poseidon2 = params is None and perm_fn is None
         self.params = params or poseidon2_params(field, self.WIDTH)
+        # width-generic duplex (reference preset family): capacity is the
+        # 8-element digest, so rate = width − 8 (W16→8, W24→16, W32→24)
+        self.WIDTH = self.params.width
+        self.RATE = self.params.width - 8
         self.perm_fn = perm_fn or _default_perm_fn(self.params)
         self.state = np.zeros(self.WIDTH, dtype=U32)
         self.input_buffer: list[int] = []

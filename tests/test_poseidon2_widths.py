@@ -50,3 +50,48 @@ def test_wide_perm_npo_roundtrip(rng, field, config_fn, width):
     prover = BatchStarkProver(config)
     proof = prover.prove_all_tables(circuit, traces, pdata, debug_lookups=True)
     assert prover.verify_all_tables(circuit, proof, pdata)
+
+
+def test_w24_challenger_native_circuit_match(rng):
+    """Width-generic duplex: a W24 challenger (rate 16) on both sides —
+    native DuplexChallenger(params=W24) and CircuitChallenger over the
+    W24 table — produce identical transcripts (reference preset family:
+    capacity is the 8-element digest, rate = width − 8)."""
+    from plonky3_recursion_tpu.recursion.challenger_circuit import (
+        CircuitChallenger,
+    )
+    from plonky3_recursion_tpu.stark.challenger import DuplexChallenger
+
+    E4 = ext_field(KOALA_BEAR, 4)
+    params24 = poseidon2_params(KOALA_BEAR, 24)
+    native = DuplexChallenger(KOALA_BEAR, params=params24)
+    assert native.RATE == 16 and native.WIDTH == 24
+    assert not native.is_default_poseidon2
+
+    b = CircuitBuilder(E4)
+    npo = poseidon2_npo_for(KOALA_BEAR.name, 24)
+    b.enable_op(npo)
+    cc = CircuitChallenger(b, npo.type_id)
+    assert cc.RATE == 16 and cc.LIMBS == 6 and cc.RATE_LIMBS == 4
+
+    vals = [int(x) for x in KOALA_BEAR.rand(rng, (21,))]
+    for v in vals:
+        native.observe(v)
+        cc.observe(b.public_input())
+    s1 = native.sample()
+    s2 = native.sample_ext(E4)
+    b.tag("s1", cc.sample())
+    b.tag("s2", cc.sample_ext())
+    # cross a duplex boundary: rate-16 buffer drains then refills
+    for v in vals[:3]:
+        native.observe(v)
+        cc.observe(b.public_input())
+    s3 = native.sample_ext(E4)
+    b.tag("s3", cc.sample_ext())
+    circuit = b.build()
+    r = circuit.runner()
+    r.set_public_inputs(vals + vals[:3])
+    t = r.run()
+    assert int(t.probe("s1")[0]) == s1
+    assert np.array_equal(t.probe("s2"), s2)
+    assert np.array_equal(t.probe("s3"), s3)
