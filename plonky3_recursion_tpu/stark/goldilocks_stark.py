@@ -776,6 +776,10 @@ class GlFriPcs:
         fc = np.asarray(proof.final_coeffs)
         if fc.shape[0] != 1 << P.log_final_poly_len:
             raise ValueError("final poly length mismatch")
+        if any(
+            int(v) >= P_GOLDILOCKS for v in GL.to_ints(fc).reshape(-1)
+        ):
+            raise ValueError("final poly coefficients out of field range")
         for _com, mats in rounds:
             for log_n, _pts in mats:
                 if log_n + P.log_blowup < log_final:
