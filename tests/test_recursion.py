@@ -248,3 +248,43 @@ def test_pcs_recursion_backend_dispatch():
     p1 = cache.get_or_build(config, inner, backend=backend)
     p2 = cache.get_or_build(config, inner, backend=backend)
     assert p1 is p2 and cache.hits == 1
+
+
+@pytest.mark.slow
+def test_midrange_params_recursion_layer():
+    """A third FRI-parameter point (blowup 1, final-poly 4, arity 1,
+    commit PoW 1): exercises in-circuit FRI at a different final-poly
+    degree and with per-phase commit grinding (reference
+    `recursion/tests/fri.rs` degree-variant coverage)."""
+    from plonky3_recursion_tpu.stark.fri_pcs import FriParams
+
+    params = FriParams(
+        log_blowup=1,
+        log_final_poly_len=2,
+        num_queries=6,
+        commit_pow_bits=1,
+        query_pow_bits=1,
+        max_log_arity=1,
+    )
+    config = koala_bear_config(params)
+    b = CircuitBuilder(E4)
+    a = b.public_input()
+    bb = b.public_input()
+    res = b.public_input()
+    for _ in range(16):
+        a, bb = bb, b.add(a, bb)
+    b.connect(bb, res)
+    circuit = b.build()
+    pdata = circuit_prover_data(config, circuit)
+    x, y = 0, 1
+    for _ in range(16):
+        x, y = y, (x + y) % KOALA_BEAR.P
+    runner = circuit.runner()
+    runner.set_public_inputs([0, 1, y])
+    prover = BatchStarkProver(config)
+    proof = prover.prove_all_tables(circuit, runner.run(), pdata)
+    assert prover.verify_all_tables(circuit, proof, pdata)
+    inner = RecursionInput(proof, circuit, pdata)
+    prep = build_next_layer_prep(config, inner)
+    layer = prove_next_layer(config, prep, inner.proof, debug_lookups=True)
+    assert prover.verify_all_tables(prep.circuit, layer, prep.pdata)
