@@ -940,10 +940,14 @@ class GlFibAir:
     GL2 (the Monty31 symbolic layer is field-specific)."""
 
     width_main = 2
+    width_prep = 0
     num_publics = 3
     log_quotient_degree = 0  # max constraint degree 2
 
-    def eval_ext(self, local, nxt, publics, sels, xp=np):
+    def eval_ext(
+        self, local, nxt, publics, sels, xp=np, prep_local=None,
+        prep_next=None,
+    ):
         """local/nxt: (..., w, 2, 2) ext; publics: [(2,) base]*3;
         sels: dict of (..., 2, 2) ext.  Returns constraint evals."""
         a, b = local[..., 0, :, :], local[..., 1, :, :]
@@ -962,6 +966,38 @@ class GlFibAir:
             GLE.mul(trans, GLE.sub(an, b, xp), xp),
             GLE.mul(trans, GLE.sub(bn, GLE.add(a, b, xp), xp), xp),
             GLE.mul(last, mb(b, pf), xp),
+        ]
+
+
+class GlMulAir:
+    """Preprocessed-column AIR (the reference goldilocks.rs
+    `test_goldilocks_mul_verifier_with_preprocessed` workload analog):
+    main columns (x, y) with a preprocessed multiplier column k;
+    constraints y = k·x per row and first-row x = p₀."""
+
+    width_main = 2
+    width_prep = 1
+    num_publics = 1
+    log_quotient_degree = 0  # max constraint degree 2 (main × prep)
+
+    def eval_ext(
+        self, local, nxt, publics, sels, xp=np, prep_local=None,
+        prep_next=None,
+    ):
+        x, y = local[..., 0, :, :], local[..., 1, :, :]
+        k = prep_local[..., 0, :, :]
+        (p0,) = publics
+        first = sels["first"]
+        x_m_p0 = GLE.sub(
+            x,
+            GLE.from_base(
+                xp.broadcast_to(xp.asarray(p0), x.shape[:-2] + (2,)), xp
+            ),
+            xp,
+        )
+        return [
+            GLE.sub(y, GLE.mul(k, x, xp), xp),
+            GLE.mul(first, x_m_p0, xp),
         ]
 
 
@@ -988,6 +1024,10 @@ class GlUniProof:
     trace_next: np.ndarray
     quotient_chunks: list  # [(2, 2, 2)] per chunk
     fri: GlFriProof
+    # preprocessed columns (reference MulAir-with-preprocessed workload)
+    prep_commit: np.ndarray | None = None
+    prep_local: np.ndarray | None = None  # (wp, 2, 2)
+    prep_next: np.ndarray | None = None
 
 
 def _gl_selectors_on_coset(log_n: int, shift: int, size: int, xp=np):
@@ -1041,14 +1081,21 @@ def _gl_fold_constraints(constraints, alpha, xp=np):
     return acc
 
 
-def gl_prove(config: GlStarkConfig, air, trace, publics, xp=np) -> GlUniProof:
-    """trace: (n, w, 2); publics: list of ints.  Mirrors `uni.prove`."""
+def gl_prove(
+    config: GlStarkConfig, air, trace, publics, xp=np, prep=None
+) -> GlUniProof:
+    """trace: (n, w, 2); publics: list of ints; prep: optional (n, wp, 2)
+    preprocessed columns.  Mirrors `uni.prove`."""
     pcs = config.pcs
     n = trace.shape[0]
     log_n = n.bit_length() - 1
     pub_arrs = [GL.from_ints(int(v)) for v in publics]
     ch = config.challenger()
     ch.observe(log_n)
+    prep_data = None
+    if prep is not None:
+        prep_data = pcs.commit([(1, np.asarray(prep))], xp)
+        ch.observe_slice(prep_data.commitment)
     trace_data = pcs.commit([(1, np.asarray(trace))], xp)
     ch.observe_slice(trace_data.commitment)
     for v in pub_arrs:
@@ -1057,21 +1104,34 @@ def gl_prove(config: GlStarkConfig, air, trace, publics, xp=np) -> GlUniProof:
     # quotient on the coset g·K (size n·2^lq; lq = 0 for degree-2 airs)
     lq = air.log_quotient_degree
     m = n << lq
-    coeffs = gl_intt(xp.asarray(trace), xp)
-    gpow = xp.asarray(_gl_power_table(GL.generator, n))
-    scaled = GL.mul(coeffs, gpow[:, None], xp)
-    padded = xp.zeros((m, air.width_main, 2), dtype=U32)
-    if xp is np:
-        padded[:n] = scaled
-    else:
-        padded = padded.at[:n].set(scaled)
-    lde_q = gl_ntt(padded, xp)
+
+    def to_coset(mat, w):
+        coeffs = gl_intt(xp.asarray(mat), xp)
+        gpow = xp.asarray(_gl_power_table(GL.generator, n))
+        scaled = GL.mul(coeffs, gpow[:, None], xp)
+        padded = xp.zeros((m, w, 2), dtype=U32)
+        if xp is np:
+            padded[:n] = scaled
+        else:
+            padded = padded.at[:n].set(scaled)
+        return gl_ntt(padded, xp)
+
+    lde_q = to_coset(trace, air.width_main)
     nxt = xp.roll(lde_q, -(1 << lq), axis=0)
+    prep_kw = {}
+    if prep is not None:
+        lde_p = to_coset(prep, prep.shape[1])
+        prep_kw = {
+            "prep_local": GLE.from_base(lde_p, xp),
+            "prep_next": GLE.from_base(
+                xp.roll(lde_p, -(1 << lq), axis=0), xp
+            ),
+        }
     sels = _gl_selectors_on_coset(log_n, GL.generator, m, xp)
     sels_ext = {k: GLE.from_base(v, xp) for k, v in sels.items()}
     cons = air.eval_ext(
         GLE.from_base(lde_q, xp), GLE.from_base(nxt, xp), pub_arrs,
-        sels_ext, xp,
+        sels_ext, xp, **prep_kw,
     )
     folded = _gl_fold_constraints(cons, alpha, xp)
     qvals = GLE.mul_base(folded, sels["inv_vanishing"], xp)  # (m, 2, 2)
@@ -1087,22 +1147,23 @@ def gl_prove(config: GlStarkConfig, air, trace, publics, xp=np) -> GlUniProof:
     zeta = ch.sample_ext()
     g_n = GL.two_adic_generator(log_n)
     zeta_next = GLE.mul_base(zeta, np.asarray(GL.from_ints(g_n)), np)
-    opened, fri_proof = pcs.open(
-        [
-            (trace_data, [[zeta, zeta_next]]),
-            (q_data, [[zeta]] * qdeg),
-        ],
-        ch,
-        xp,
-    )
+    rounds = [(trace_data, [[zeta, zeta_next]])]
+    if prep_data is not None:
+        rounds.append((prep_data, [[zeta, zeta_next]]))
+    rounds.append((q_data, [[zeta]] * qdeg))
+    opened, fri_proof = pcs.open(rounds, ch, xp)
+    qi = 2 if prep_data is not None else 1
     return GlUniProof(
         log_n=log_n,
         trace_commit=trace_data.commitment,
         quotient_commit=q_data.commitment,
         trace_local=opened[0][0][0],
         trace_next=opened[0][0][1],
-        quotient_chunks=[opened[1][i][0] for i in range(qdeg)],
+        quotient_chunks=[opened[qi][i][0] for i in range(qdeg)],
         fri=fri_proof,
+        prep_commit=prep_data.commitment if prep_data else None,
+        prep_local=opened[1][0][0] if prep_data else None,
+        prep_next=opened[1][0][1] if prep_data else None,
     )
 
 
@@ -1120,9 +1181,19 @@ def gl_verify(config: GlStarkConfig, air, proof: GlUniProof, publics) -> bool:
     for c in proof.quotient_chunks:
         if np.asarray(c).shape != (2, 2, 2):
             raise ValueError("wrong quotient chunk shape")
+    wp = getattr(air, "width_prep", 0)
+    if (wp > 0) != (proof.prep_commit is not None):
+        raise ValueError("preprocessed commitment presence mismatch")
+    if wp:
+        if np.asarray(proof.prep_local).shape != (wp, 2, 2):
+            raise ValueError("wrong prep opening shape")
+        if np.asarray(proof.prep_next).shape != (wp, 2, 2):
+            raise ValueError("wrong prep_next opening shape")
     pub_arrs = [GL.from_ints(int(v)) for v in publics]
     ch = config.challenger()
     ch.observe(log_n)
+    if wp:
+        ch.observe_slice(proof.prep_commit)
     ch.observe_slice(proof.trace_commit)
     for v in pub_arrs:
         ch.observe(v)
@@ -1130,12 +1201,19 @@ def gl_verify(config: GlStarkConfig, air, proof: GlUniProof, publics) -> bool:
     ch.observe_slice(proof.quotient_commit)
     zeta = ch.sample_ext()
     sels = _gl_selectors_at_point(log_n, np.asarray(zeta), np)
+    prep_kw = {}
+    if wp:
+        prep_kw = {
+            "prep_local": np.asarray(proof.prep_local, dtype=U32),
+            "prep_next": np.asarray(proof.prep_next, dtype=U32),
+        }
     cons = air.eval_ext(
         np.asarray(proof.trace_local, dtype=U32),
         np.asarray(proof.trace_next, dtype=U32),
         pub_arrs,
         sels,
         np,
+        **prep_kw,
     )
     folded = _gl_fold_constraints(cons, alpha, np)
     lhs = GLE.mul(folded, sels["inv_vanishing"], np)
@@ -1152,20 +1230,29 @@ def gl_verify(config: GlStarkConfig, air, proof: GlUniProof, publics) -> bool:
     zeta_next = GLE.mul_base(
         np.asarray(zeta), np.asarray(GL.from_ints(g_n)), np
     )
-    wq = GL.two_adic_generator(log_n + lq)
     rounds_v = [
         (
             proof.trace_commit,
             [(log_n, [(np.asarray(zeta), np.asarray(proof.trace_local)),
                       (zeta_next, np.asarray(proof.trace_next))])],
         ),
+    ]
+    if wp:
+        rounds_v.append(
+            (
+                proof.prep_commit,
+                [(log_n, [(np.asarray(zeta), np.asarray(proof.prep_local)),
+                          (zeta_next, np.asarray(proof.prep_next))])],
+            )
+        )
+    rounds_v.append(
         (
             proof.quotient_commit,
             [
                 (log_n, [(np.asarray(zeta), np.asarray(proof.quotient_chunks[i]))])
                 for i in range(qdeg)
             ],
-        ),
-    ]
+        )
+    )
     pcs.verify(rounds_v, proof.fri, ch)
     return True

@@ -108,3 +108,47 @@ def test_gl_fibonacci_larger_trace():
     config = goldilocks_config()
     proof = gl_prove(config, GlFibAir(), trace, publics)
     assert gl_verify(config, GlFibAir(), proof, publics)
+
+
+def test_gl_mul_air_with_preprocessed():
+    """MulAir with a preprocessed multiplier column (reference
+    `test_goldilocks_mul_verifier_with_preprocessed`)."""
+    import dataclasses as dc
+
+    from plonky3_recursion_tpu.stark.goldilocks_stark import GlMulAir
+
+    rng = np.random.default_rng(5)
+    n = 16
+    k = GL.rand(rng, (n, 1))
+    x = GL.rand(rng, (n, 1))
+    x[0] = GL.from_ints(12345)
+    y = GL.mul(k[:, 0], x[:, 0], np)[:, None, :]
+    trace = np.concatenate([x[:, :, None, :], y[:, :, None, :]], axis=2)[
+        :, 0
+    ]  # (n, 2, 2)
+    config = goldilocks_config()
+    proof = gl_prove(config, GlMulAir(), trace, [12345], prep=k)
+    from plonky3_recursion_tpu.stark.goldilocks_stark import gl_verify as gv
+
+    assert gv(config, GlMulAir(), proof, [12345])
+    # wrong public -> first-row constraint fails
+    with pytest.raises(ValueError, match="quotient/constraint"):
+        gv(config, GlMulAir(), proof, [12346])
+    # tampered prep commitment -> transcript/FRI rejects
+    bad = dc.replace(proof)
+    pc = np.asarray(bad.prep_commit).copy()
+    pc[0, 0] ^= 1
+    bad.prep_commit = pc
+    with pytest.raises(ValueError):
+        gv(config, GlMulAir(), bad, [12345])
+    # tampered prep opening -> rejected
+    bad2 = dc.replace(proof)
+    pl = np.asarray(bad2.prep_local).copy()
+    pl[0, 0, 0] ^= 1
+    bad2.prep_local = pl
+    with pytest.raises(ValueError):
+        gv(config, GlMulAir(), bad2, [12345])
+    # a proof without prep is rejected for a prep air
+    bad3 = dc.replace(proof, prep_commit=None)
+    with pytest.raises(ValueError, match="presence mismatch"):
+        gv(config, GlMulAir(), bad3, [12345])
