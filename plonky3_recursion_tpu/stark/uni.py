@@ -136,6 +136,18 @@ class UniProof:
     trace_next: np.ndarray  # (w, D)
     quotient_chunks: list  # 2^lq entries of (D, D)
     fri: FriProof
+    # preprocessed columns (reference `prove_with_preprocessed` /
+    # `verify_with_preprocessed`, exercised by `mul_air.rs`)
+    prep_commit: np.ndarray | None = None
+    prep_local: np.ndarray | None = None  # (wp, D)
+    prep_next: np.ndarray | None = None
+
+
+def setup_preprocessed(config: StarkConfig, prep: np.ndarray, xp=np):
+    """Offline-commit a preprocessed matrix (reference
+    `p3_uni_stark::setup_preprocessed`): returns the PCS prover data —
+    its `.commitment` is the verifying key the verifier pins."""
+    return config.pcs.commit([(1, np.asarray(prep, dtype=U32))], xp)
 
 
 def _fold_constraints(E, builder, evaluator, bindings, alpha, xp):
@@ -155,7 +167,9 @@ def _fold_constraints(E, builder, evaluator, bindings, alpha, xp):
     return acc
 
 
-def quotient_values(config: StarkConfig, air: Air, trace, publics, alpha, xp):
+def quotient_values(
+    config: StarkConfig, air: Air, trace, publics, alpha, xp, prep=None
+):
     """Evaluate the α-folded constraint quotient on the quotient coset.
 
     Returns (lq, q_evals (M, D)) with M = n·2^lq, natural order.
@@ -166,12 +180,22 @@ def quotient_values(config: StarkConfig, air: Air, trace, publics, alpha, xp):
     builder = air.build()
     lq = log_quotient_degree(builder.constraints)
     m = n << lq
-    # trace on the quotient coset: scale coeffs by g^i, NTT at size m
-    coeffs = intt(F, xp.asarray(trace), xp)
-    gpow = xp.asarray(_power_table(F, F.generator, n))
-    scaled = F.monty_mul(coeffs, gpow[:, None], xp)
-    lde_q = ntt(F, xp.pad(scaled, [(0, m - n), (0, 0)]), xp)
+
+    def to_coset(mat):
+        coeffs = intt(F, xp.asarray(mat), xp)
+        gpow = xp.asarray(_power_table(F, F.generator, n))
+        scaled = F.monty_mul(coeffs, gpow[:, None], xp)
+        return ntt(F, xp.pad(scaled, [(0, m - n), (0, 0)]), xp)
+
+    lde_q = to_coset(trace)
     nxt = xp.roll(lde_q, -(1 << lq), axis=0)  # p(w_n·x): roll by stride
+    prep_binding = {}
+    if prep is not None:
+        lde_p = to_coset(prep)
+        prep_binding = {
+            0: ("base", lde_p),
+            1: ("base", xp.roll(lde_p, -(1 << lq), axis=0)),
+        }
     sels = lde_selectors(F, log_n, lq, F.generator)
     pcols = air.periodic_columns()
     bindings = {
@@ -187,7 +211,7 @@ def quotient_values(config: StarkConfig, air: Air, trace, publics, alpha, xp):
         }
         if pcols
         else {},
-        "preprocessed": {},
+        "preprocessed": prep_binding,
         "perm": {},
         "publics": [xp.asarray(np.uint32(int(p) % F.P)) for p in publics],
         "challenges": [],
@@ -200,18 +224,36 @@ def quotient_values(config: StarkConfig, air: Air, trace, publics, alpha, xp):
 
 
 def prove(
-    config: StarkConfig, air: Air, trace: np.ndarray, publics, xp=np
+    config: StarkConfig,
+    air: Air,
+    trace: np.ndarray,
+    publics,
+    xp=np,
+    prep_data=None,
 ) -> UniProof:
+    """prep_data: offline `setup_preprocessed` result when the AIR has
+    preprocessed columns (reference `prove_with_preprocessed`)."""
     F, E, pcs = config.field, config.ext, config.pcs
     n, w = trace.shape
     log_n = n.bit_length() - 1
+    assert (getattr(air, "width_prep", 0) > 0) == (prep_data is not None)
     ch = config.challenger()
     ch.observe(log_n)
+    if prep_data is not None:
+        ch.observe_slice(prep_data.commitment)
     trace_data = pcs.commit([(1, np.asarray(trace))], xp)
     ch.observe_slice(trace_data.commitment)
     ch.observe_slice(np.asarray(publics, dtype=U32))
     alpha = ch.sample_ext(E)
-    lq, q = quotient_values(config, air, trace, publics, alpha, xp)
+    # original-domain prep evals recovered from the committed coefficients
+    prep_evals = (
+        ntt(F, xp.asarray(prep_data.matrices[0].coeffs), xp)
+        if prep_data is not None
+        else None
+    )
+    lq, q = quotient_values(
+        config, air, trace, publics, alpha, xp, prep=prep_evals
+    )
     qdeg = 1 << lq
     m = n << lq
     wq = F.two_adic_generator(log_n + lq)
@@ -225,26 +267,38 @@ def prove(
     zeta = ch.sample_ext(E)
     g_n = F.two_adic_generator(log_n)
     zeta_next = E.mul_base(zeta, np.uint32(g_n), np)
-    opened, fri_proof = pcs.open(
-        [
-            (trace_data, [[zeta, zeta_next]]),
-            (q_data, [[zeta]] * qdeg),
-        ],
-        ch,
-        xp,
-    )
+    rounds = [(trace_data, [[zeta, zeta_next]])]
+    if prep_data is not None:
+        rounds.append((prep_data, [[zeta, zeta_next]]))
+    rounds.append((q_data, [[zeta]] * qdeg))
+    opened, fri_proof = pcs.open(rounds, ch, xp)
+    qi = 2 if prep_data is not None else 1
     return UniProof(
         log_n=log_n,
         trace_commit=trace_data.commitment,
         quotient_commit=q_data.commitment,
         trace_local=opened[0][0][0],
         trace_next=opened[0][0][1],
-        quotient_chunks=[opened[1][i][0] for i in range(qdeg)],
+        quotient_chunks=[opened[qi][i][0] for i in range(qdeg)],
         fri=fri_proof,
+        prep_commit=(
+            np.asarray(prep_data.commitment) if prep_data else None
+        ),
+        prep_local=opened[1][0][0] if prep_data else None,
+        prep_next=opened[1][0][1] if prep_data else None,
     )
 
 
-def verify(config: StarkConfig, air: Air, proof: UniProof, publics) -> bool:
+def verify(
+    config: StarkConfig,
+    air: Air,
+    proof: UniProof,
+    publics,
+    prep_commitment=None,
+) -> bool:
+    """prep_commitment: the verifying key from `setup_preprocessed`
+    (required iff the AIR has preprocessed columns; reference
+    `verify_with_preprocessed`)."""
     F, E, pcs = config.field, config.ext, config.pcs
     p = F.P
     log_n = proof.log_n
@@ -261,8 +315,25 @@ def verify(config: StarkConfig, air: Air, proof: UniProof, publics) -> bool:
     for c in proof.quotient_chunks:
         if np.asarray(c).shape != (E.D, E.D):
             raise ValueError("wrong quotient chunk shape")
+    wp = getattr(air, "width_prep", 0)
+    if (wp > 0) != (proof.prep_commit is not None):
+        raise ValueError("preprocessed commitment presence mismatch")
+    if wp:
+        if prep_commitment is None or not np.array_equal(
+            np.asarray(proof.prep_commit, dtype=U32),
+            np.asarray(prep_commitment, dtype=U32),
+        ):
+            raise ValueError(
+                "preprocessed commitment does not match verifying key"
+            )
+        if np.asarray(proof.prep_local).shape != (wp, E.D):
+            raise ValueError("wrong prep opening shape")
+        if np.asarray(proof.prep_next).shape != (wp, E.D):
+            raise ValueError("wrong prep_next opening shape")
     ch = config.challenger()
     ch.observe(log_n)
+    if wp:
+        ch.observe_slice(proof.prep_commit)
     ch.observe_slice(proof.trace_commit)
     ch.observe_slice(np.asarray(publics, dtype=U32))
     alpha = ch.sample_ext(E)
@@ -292,7 +363,12 @@ def verify(config: StarkConfig, air: Air, proof: UniProof, publics) -> bool:
         }
         if pcols
         else {},
-        "preprocessed": {},
+        "preprocessed": {
+            0: ("ext", np.asarray(proof.prep_local, dtype=U32)),
+            1: ("ext", np.asarray(proof.prep_next, dtype=U32)),
+        }
+        if wp
+        else {},
         "perm": {},
         "publics": [np.uint32(int(x) % p) for x in publics],
         "challenges": [],
@@ -323,14 +399,31 @@ def verify(config: StarkConfig, air: Air, proof: UniProof, publics) -> bool:
                 )
             ],
         ),
+    ]
+    if wp:
+        rounds_v.append(
+            (
+                proof.prep_commit,
+                [
+                    (
+                        log_n,
+                        [
+                            (zeta, np.asarray(proof.prep_local)),
+                            (zeta_next, np.asarray(proof.prep_next)),
+                        ],
+                    )
+                ],
+            )
+        )
+    rounds_v.append(
         (
             proof.quotient_commit,
             [
                 (log_n, [(zeta, np.asarray(proof.quotient_chunks[i]))])
                 for i in range(qdeg)
             ],
-        ),
-    ]
+        )
+    )
     pcs.verify(rounds_v, proof.fri, ch)
     return True
 

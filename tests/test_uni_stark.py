@@ -115,3 +115,58 @@ def test_degree3_air_and_jnp_quotient(rng):
     assert np.array_equal(
         np.asarray(proof.fri.final_coeffs), np.asarray(proof2.fri.final_coeffs)
     )
+
+
+class PrepMulAir(Air):
+    """Main (x, y) with preprocessed multiplier k: y = k·x per row
+    (reference `mul_air.rs` preprocessed workload)."""
+
+    width_main = 2
+    width_prep = 1
+    num_publics = 1
+
+    def eval(self, b):
+        x, y = b.main_local
+        (k,) = b.prep_local
+        (p0,) = b.public_values
+        b.assert_eq(y, k * x)
+        b.when_first_row().assert_eq(x, p0)
+
+
+def test_uni_with_preprocessed(rng):
+    """prove_with_preprocessed / verify_with_preprocessed analog:
+    preprocessed columns commit offline, open at [ζ, ζg], and bind
+    through the verifying key."""
+    from plonky3_recursion_tpu.stark.uni import setup_preprocessed
+
+    config = koala_bear_config()
+    F = config.field
+    n = 16
+    k = F.rand(rng, (n, 1))
+    x = F.rand(rng, (n, 1))
+    x[0, 0] = 777
+    y = (x[:, 0].astype(np.uint64) * k[:, 0] % F.P).astype(np.uint32)
+    trace = np.stack([x[:, 0], y], axis=1)
+    prep_data = setup_preprocessed(config, k)
+    proof = prove(config, PrepMulAir(), trace, [777], prep_data=prep_data)
+    vk = prep_data.commitment
+    assert verify(config, PrepMulAir(), proof, [777], prep_commitment=vk)
+    # wrong verifying key rejected
+    bad_vk = np.asarray(vk).copy()
+    bad_vk[0] ^= 1
+    with pytest.raises(ValueError, match="verifying key"):
+        verify(config, PrepMulAir(), proof, [777], prep_commitment=bad_vk)
+    # tampered prep opening rejected by FRI
+    bad = dataclasses.replace(proof)
+    pl = np.asarray(bad.prep_local).copy()
+    pl[0, 0] ^= 1
+    bad.prep_local = pl
+    with pytest.raises(ValueError):
+        verify(config, PrepMulAir(), bad, [777], prep_commitment=vk)
+    # missing prep for a prep air rejected
+    bad2 = dataclasses.replace(proof, prep_commit=None)
+    with pytest.raises(ValueError, match="presence mismatch"):
+        verify(config, PrepMulAir(), bad2, [777], prep_commitment=vk)
+    # wrong public -> constraint check fails
+    with pytest.raises(ValueError, match="quotient/constraint"):
+        verify(config, PrepMulAir(), proof, [778], prep_commitment=vk)
