@@ -63,6 +63,15 @@ def build_uni_verifier_circuit(
     cap_cfg = getattr(config.pcs, "cap_height", 0)
     cap_len = 8 << min(cap_cfg, log_n + P.log_blowup)
     ch.observe(b.const(log_n))
+    # preprocessed verifying key: a PUBLIC input of the layer circuit
+    # (reference mul_air.rs: `verifier_inputs.preprocessed_commit`)
+    wp = getattr(air, "width_prep", 0)
+    prep_commit = None
+    if wp:
+        prep_commit = al.public_vec(
+            cap_len, lambda pf, i: int(pf.prep_commit[i])
+        )
+        ch.observe_slice(prep_commit)
     trace_commit = al.public_vec(
         cap_len, lambda pf, i: int(pf.trace_commit[i])
     )
@@ -92,6 +101,20 @@ def build_uni_verifier_circuit(
             cols.append(b.recompose_base_coeffs_to_ext(coeffs))
         trace_opens.append(cols)
 
+    prep_opens = [[], []]
+    if wp:
+
+        def pr_open(pf, which, c, j):
+            arr = pf.prep_local if which == 0 else pf.prep_next
+            return int(np.asarray(arr)[c, j])
+
+        for which in (0, 1):
+            for c in range(wp):
+                coeffs = al.private_vec(d, _bind(pr_open, which, c))
+                prep_opens[which].append(
+                    b.recompose_base_coeffs_to_ext(coeffs)
+                )
+
     def q_open(pf, ci, c, j):
         return int(np.asarray(pf.quotient_chunks[ci])[c, j])
 
@@ -115,7 +138,7 @@ def build_uni_verifier_circuit(
     bindings = {
         "main": {0: trace_opens[0], 1: trace_opens[1]},
         "periodic": {0: _periodic_targets(b, F, air, log_n, zeta)},
-        "preprocessed": {0: [], 1: []},
+        "preprocessed": {0: prep_opens[0], 1: prep_opens[1]},
         "perm": {0: [], 1: []},
         "publics": publics,
         "challenges": [],
@@ -153,12 +176,22 @@ def build_uni_verifier_circuit(
             trace_commit,
             [(log_n, [(zeta, trace_opens[0]), (zg, trace_opens[1])])],
         ),
+    ]
+    if wp:
+        rounds.append(
+            (
+                "prep",
+                prep_commit,
+                [(log_n, [(zeta, prep_opens[0]), (zg, prep_opens[1])])],
+            )
+        )
+    rounds.append(
         (
             "quotient",
             quotient_commit,
             [(log_n, [(zeta, q_opens[ci])]) for ci in range(qdeg)],
-        ),
-    ]
+        )
+    )
     _verify_fri_circuit(config, b, al, ch, mmcs, rounds, P, tag_ns=tag_ns)
     return VerifierCircuitResult(
         b,
@@ -190,6 +223,9 @@ class _UniProofView:
         self.quotient_chunks = proof.quotient_chunks
         self.fri = proof.fri
         self.publics = list(publics)
+        self.prep_commit = proof.prep_commit
+        self.prep_local = proof.prep_local
+        self.prep_next = proof.prep_next
 
 
 def prove_uni_recursively(
