@@ -41,8 +41,33 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def _probe_backend(timeout_s: float = 600.0):
+    """Fail fast (instead of hanging forever) when the TPU tunnel is
+    unreachable: device discovery runs under a watchdog."""
+    import threading
+
+    done = threading.Event()
+
+    def watchdog():
+        if not done.wait(timeout_s):
+            log(
+                f"[bench] backend unreachable after {timeout_s:.0f}s "
+                "(TPU tunnel down?) — aborting"
+            )
+            os._exit(3)
+
+    t = threading.Thread(target=watchdog, daemon=True)
+    t.start()
+    import jax
+
+    devs = jax.devices()
+    done.set()
+    log(f"[bench] backend: {devs}")
+
+
 def main():
     _setup_jax_cache()
+    _probe_backend()
     from plonky3_recursion_tpu.circuit import CircuitBuilder
     from plonky3_recursion_tpu.fields import KOALA_BEAR, ext_field
     from plonky3_recursion_tpu.prover import (
