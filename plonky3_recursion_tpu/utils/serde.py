@@ -270,3 +270,97 @@ def validate_batch_proof(proof: BatchProof, config=None):
         if len(proof.fri.query_proofs) != P.num_queries:
             raise ValueError("wrong number of query proofs")
     return True
+
+
+# ---------------------------------------------------------------------------
+# uni-stark proof serde
+# ---------------------------------------------------------------------------
+
+
+def _fri_tree(fri) -> list:
+    return [
+        [np.asarray(d) for d in fri.commit_digests],
+        [int(w) for w in fri.commit_pow_witnesses],
+        np.asarray(fri.final_coeffs),
+        int(fri.pow_witness),
+        [
+            [
+                [
+                    [[np.asarray(r) for r in rows], [np.asarray(s) for s in sibs]]
+                    for rows, sibs in qp.input_openings
+                ],
+                [
+                    [np.asarray(row), [np.asarray(s) for s in sibs]]
+                    for row, sibs in qp.commit_steps
+                ],
+            ]
+            for qp in fri.query_proofs
+        ],
+    ]
+
+
+def _fri_from_tree(t) -> FriProof:
+    return FriProof(
+        commit_digests=t[0],
+        commit_pow_witnesses=t[1],
+        final_coeffs=t[2],
+        pow_witness=t[3],
+        query_proofs=[
+            QueryProof(
+                input_openings=[(rows, sibs) for rows, sibs in q[0]],
+                commit_steps=[(row, sibs) for row, sibs in q[1]],
+            )
+            for q in t[4]
+        ],
+    )
+
+
+def uni_proof_to_bytes(proof) -> bytes:
+    """Serialize a `stark.uni.UniProof` (reference: all proof types are
+    serde round-trippable)."""
+    tree = [
+        int(proof.log_n),
+        np.asarray(proof.trace_commit),
+        np.asarray(proof.quotient_commit),
+        np.asarray(proof.trace_local),
+        np.asarray(proof.trace_next),
+        [np.asarray(c) for c in proof.quotient_chunks],
+        _fri_tree(proof.fri),
+        None if proof.prep_commit is None else np.asarray(proof.prep_commit),
+        None if proof.prep_local is None else np.asarray(proof.prep_local),
+        None if proof.prep_next is None else np.asarray(proof.prep_next),
+    ]
+    out = bytearray(b"P3TU\x01")
+    _pack(tree, out)
+    return bytes(out)
+
+
+def uni_proof_from_bytes(data: bytes):
+    from ..stark.uni import UniProof
+
+    assert data[:5] == b"P3TU\x01", "bad uni proof magic/version"
+    tree, _pos = _unpack(memoryview(data), 5)
+    (
+        log_n,
+        trace_commit,
+        quotient_commit,
+        trace_local,
+        trace_next,
+        q_chunks,
+        fri_t,
+        prep_commit,
+        prep_local,
+        prep_next,
+    ) = tree
+    return UniProof(
+        log_n=int(log_n),
+        trace_commit=trace_commit,
+        quotient_commit=quotient_commit,
+        trace_local=trace_local,
+        trace_next=trace_next,
+        quotient_chunks=q_chunks,
+        fri=_fri_from_tree(fri_t),
+        prep_commit=prep_commit,
+        prep_local=prep_local,
+        prep_next=prep_next,
+    )

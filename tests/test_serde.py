@@ -50,3 +50,37 @@ def test_validate_rejects_malformed():
     proof.batch.quotient_chunks[0].pop()
     with pytest.raises(ValueError):
         validate_batch_proof(proof.batch)
+
+
+def test_uni_proof_roundtrip_bytes(rng):
+    """Uni-stark proofs (incl. preprocessed fields) roundtrip byte-exact."""
+    import numpy as np
+
+    from plonky3_recursion_tpu.stark.uni import (
+        prove as uni_prove,
+        setup_preprocessed,
+        verify as uni_verify,
+    )
+    from plonky3_recursion_tpu.utils.serde import (
+        uni_proof_from_bytes,
+        uni_proof_to_bytes,
+    )
+    from tests.test_uni_stark import PrepMulAir
+
+    config = koala_bear_config(FriParams.testing())
+    F = config.field
+    n = 16
+    k = F.rand(rng, (n, 1))
+    x = F.rand(rng, (n, 1))
+    x[0, 0] = 9
+    y = (x[:, 0].astype(np.uint64) * k[:, 0] % F.P).astype(np.uint32)
+    trace = np.stack([x[:, 0], y], axis=1)
+    prep_data = setup_preprocessed(config, k)
+    proof = uni_prove(config, PrepMulAir(), trace, [9], prep_data=prep_data)
+    blob = uni_proof_to_bytes(proof)
+    back = uni_proof_from_bytes(blob)
+    assert uni_verify(
+        config, PrepMulAir(), back, [9],
+        prep_commitment=prep_data.commitment,
+    )
+    assert uni_proof_to_bytes(back) == blob
