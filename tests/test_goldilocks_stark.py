@@ -152,3 +152,39 @@ def test_gl_mul_air_with_preprocessed():
     bad3 = dc.replace(proof, prep_commit=None)
     with pytest.raises(ValueError, match="presence mismatch"):
         gv(config, GlMulAir(), bad3, [12345])
+
+
+def test_gl_ops_jnp_parity():
+    """The GL kernels run identically under jnp (the TPU-native u32
+    limb-pair layout compiles through XLA; CPU-jax parity here)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from plonky3_recursion_tpu.stark.goldilocks_stark import (
+        gl_compress,
+        gl_permute,
+        gl_sponge_hash,
+    )
+
+    rng = np.random.default_rng(0)
+    s = GL.rand(rng, (5, 8))
+    assert np.array_equal(
+        gl_permute(s, np), np.asarray(gl_permute(jnp.asarray(s), jnp))
+    )
+    m = GL.rand(rng, (16, 3))
+    assert np.array_equal(gl_ntt(m, np), np.asarray(gl_ntt(jnp.asarray(m), jnp)))
+    assert np.array_equal(
+        gl_intt(m, np), np.asarray(gl_intt(jnp.asarray(m), jnp))
+    )
+    r = GL.rand(rng, (4, 10))
+    assert np.array_equal(
+        gl_sponge_hash(r, np), np.asarray(gl_sponge_hash(jnp.asarray(r), jnp))
+    )
+    le = GL.rand(rng, (4, 4))
+    ri = GL.rand(rng, (4, 4))
+    assert np.array_equal(
+        gl_compress(le, ri, np),
+        np.asarray(gl_compress(jnp.asarray(le), jnp.asarray(ri), jnp)),
+    )
