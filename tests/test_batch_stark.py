@@ -274,3 +274,57 @@ def test_per_lookup_terminals_two_buses():
     proof.lookup_terminals[3] = (3, (t3 - 1) % F.P)
     with pytest.raises(ValueError):
         verify_batch(config, als, proof, common)
+
+
+def test_three_interaction_lookup_odd_pair_batch():
+    """Three interactions in one lookup: two pair-batched + one singleton
+    aux column (odd batch tail), balanced across two tables."""
+    config = koala_bear_config()
+    F = config.field
+    n = 8
+    idx = np.arange(n, dtype=np.uint32)
+    v1 = (idx * 3 + 1) % F.P
+    v2 = (idx * 5 + 2) % F.P
+    v3 = (idx * 7 + 4) % F.P
+    sender = np.stack([v1, v2, v3], axis=1)
+    receiver = sender[::-1].copy()
+
+    class TripleAir(Air):
+        width_main = 3
+        num_publics = 0
+
+        def eval(self, b):
+            pass
+
+    def triple_lookup(mult):
+        return Lookup(
+            "WitnessChecks",
+            [
+                Interaction([Var("main", c, 0)], mult)
+                for c in range(3)
+            ],
+        )
+
+    instances = [
+        StarkInstance(TripleAir(), sender, [], lookups=[triple_lookup(1)]),
+        StarkInstance(TripleAir(), receiver, [], lookups=[triple_lookup(-1)]),
+    ]
+    als = [
+        (TripleAir(), [triple_lookup(1)]),
+        (TripleAir(), [triple_lookup(-1)]),
+    ]
+    common = commit_preprocessed(config, instances)
+    proof = prove_batch(config, instances, common, debug_lookups=True)
+    # 3 interactions -> 2 aux cols + 1 acc = 3 perm cols
+    assert proof.shapes[0].num_perm_cols == 3
+    assert verify_batch(config, als, proof, common)
+    # imbalance on the singleton-batched third interaction is caught
+    bad_recv = receiver.copy()
+    bad_recv[0, 2] ^= 1
+    instances[1] = StarkInstance(
+        TripleAir(), bad_recv, [], lookups=[triple_lookup(-1)]
+    )
+    common2 = commit_preprocessed(config, instances)
+    proof2 = prove_batch(config, instances, common2)
+    with pytest.raises(ValueError, match="imbalance"):
+        verify_batch(config, als, proof2, common2)
