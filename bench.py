@@ -160,8 +160,25 @@ def main():
         states.block_until_ready()
         dt = time.time() - t0
         log(f"[perm] Poseidon2 W16 {reps * batch / dt / 1e6:.2f} M perms/s")
+        # Pallas kernel probe (opt-in path, ops/pallas_poseidon2.py)
+        from plonky3_recursion_tpu.ops.pallas_poseidon2 import (
+            permute_pallas,
+        )
+
+        states_p = jnp.zeros((batch, 16), dtype=jnp.uint32)
+        permute_pallas(params16, states_p).block_until_ready()
+        t0 = time.time()
+        out = states_p
+        for _ in range(reps):
+            out = permute_pallas(params16, out)
+        out.block_until_ready()
+        dt = time.time() - t0
+        log(
+            f"[perm] Poseidon2 W16 (pallas) "
+            f"{reps * batch / dt / 1e6:.2f} M perms/s"
+        )
     except Exception as e:  # throughput probe must never fail the bench
-        log(f"[perm] skipped: {e}")
+        log(f"[perm] probe skipped: {e}")
 
     print(
         json.dumps(
