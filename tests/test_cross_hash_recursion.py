@@ -94,3 +94,41 @@ def test_cross_hash_recursion_layer():
     assert any(t.startswith("poseidon2_perm/") for t in npo_types)
     layer = prove_next_layer(cfg, prep, proof, debug_lookups=True)
     assert prover.verify_all_tables(prep.circuit, layer, prep.pdata)
+
+
+@pytest.mark.slow
+def test_w24_challenger_recursion_layer():
+    """Full layer with a WIDE (W24, rate-16) Poseidon2 challenger: the
+    transcript replays through the W24 table while Merkle paths stay on
+    the W16 table (width-generic ChallengerPermConfig)."""
+    from plonky3_recursion_tpu.ops.poseidon2 import (
+        permute as p2_permute,
+        poseidon2_params,
+    )
+    from plonky3_recursion_tpu.prover.poseidon2_table import (
+        poseidon2_npo_for,
+    )
+    from plonky3_recursion_tpu.recursion.recursion import (
+        RecursionInput,
+        build_next_layer_prep,
+        prove_next_layer,
+    )
+
+    params24 = poseidon2_params(KOALA_BEAR, 24)
+    cfg = StarkConfig(
+        KOALA_BEAR,
+        E4,
+        TwoAdicFriPcs(KOALA_BEAR, E4, FriParams.testing()),
+        challenger_factory=lambda: DuplexChallenger(
+            KOALA_BEAR, params=params24
+        ),
+        challenger_npo=poseidon2_npo_for(KOALA_BEAR.name, 24),
+    )
+    circuit, pdata, prover, proof = _fib_proof(cfg)
+    assert prover.verify_all_tables(circuit, proof, pdata)
+    inner = RecursionInput(proof, circuit, pdata)
+    prep = build_next_layer_prep(cfg, inner)
+    npo_types = {c.plugin.type_id for c in prep.circuit.npo_calls}
+    assert any(t.endswith("_w24") for t in npo_types)
+    layer = prove_next_layer(cfg, prep, proof, debug_lookups=True)
+    assert prover.verify_all_tables(prep.circuit, layer, prep.pdata)
