@@ -217,3 +217,68 @@ def test_arity4_circuit_path(rng):
         )
     with pytest.raises((WitnessConflict, ValueError)):
         r3.run()
+
+
+def test_arity4_bridge_b2_attack_rejected(rng):
+    """A malicious prover setting b2=1 on a BRIDGE level (placing the
+    running digest in a CTL-zero-pinned chunk and shifting the index
+    accumulator) must fail — either by witness/CTL conflict or the S
+    binding."""
+    from plonky3_recursion_tpu.stark.merkle import arity4_schedule
+
+    config = koala_bear_config(FriParams.testing())
+    m = MerkleMmcs4(F)
+    dims = [(8, 3), (4, 2)]
+    mats = [F.rand(rng, d) for d in dims]
+    root, tree = m.commit(mats)
+    assert arity4_schedule([8, 4]) == [(2, 4), (4, 0)]
+    idx = 5
+    opened, sibs = m.open_batch(idx, tree)
+
+    b = CircuitBuilder(E4)
+    npo = poseidon2_npo_for(F.name, 32)
+    b.enable_op(npo)
+    gad = MmcsGadget4(b, npo.type_id)
+    commit_t = [b.public_input() for _ in range(8)]
+    bit_ts = [b.public_input() for _ in range(3)]
+    for t in bit_ts:
+        b.assert_bool(t)
+    row_ts = [[b.private_input() for _ in range(w)] for _h, w in dims]
+    gad.verify_batch(commit_t, dims, bit_ts, row_ts, tag="a4atk")
+    circuit = b.build()
+    pdata = circuit_prover_data(config, circuit)
+
+    r = circuit.runner()
+    r.set_public_inputs(
+        [int(x) for x in root] + [(idx >> i) & 1 for i in range(3)]
+    )
+    r.set_private_inputs([int(v) for row in opened for v in row])
+    # bridge level 0 with b2=1 (attack); level 1 honest
+    r.set_private_data(
+        ("a4atk", 0),
+        {
+            "bits": (idx & 1, 1),
+            "siblings": np.asarray(sibs[0], dtype=np.uint32),
+        },
+    )
+    pos = (idx >> 1) & 3
+    r.set_private_data(
+        ("a4atk", 1),
+        {
+            "bits": (pos & 1, (pos >> 1) & 1),
+            "siblings": np.asarray(sibs[1], dtype=np.uint32),
+        },
+    )
+    from plonky3_recursion_tpu.circuit import WitnessConflict
+
+    failed = False
+    try:
+        traces = r.run()
+        prover = BatchStarkProver(config)
+        proof = prover.prove_all_tables(
+            circuit, traces, pdata, debug_lookups=True
+        )
+        prover.verify_all_tables(circuit, proof, pdata)
+    except (WitnessConflict, ValueError, AssertionError):
+        failed = True
+    assert failed, "b2=1 on a bridge level must not verify"
