@@ -6,6 +6,11 @@ leaves are embarrassingly parallel across hosts; every level halves the
 proof count (`book/src/advanced_topics/scaling.md`).
 
     python examples/recursive_aggregation.py --leaves 4 --cpu
+    python examples/recursive_aggregation.py --leaves 4 --workers 2 --cpu
+
+With --workers N the leaves are proven by N share-nothing worker
+processes (one per host on a pod) and shipped back as serde bytes —
+see `plonky3_recursion_tpu/parallel/multihost.py`.
 """
 
 import argparse
@@ -20,6 +25,13 @@ def main():
     ap.add_argument("--leaves", type=int, default=2)
     ap.add_argument("--n", type=int, default=32)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument(
+        "--workers",
+        type=int,
+        default=0,
+        help="prove leaves in N share-nothing worker processes "
+        "(0 = in-process)",
+    )
     args = ap.parse_args()
     assert args.leaves & (args.leaves - 1) == 0, "leaves must be a power of 2"
 
@@ -66,7 +78,28 @@ def main():
         return RecursionInput(proof, circuit, pdata)
 
     t0 = time.time()
-    level = [leaf(i) for i in range(args.leaves)]
+    if args.workers:
+        from plonky3_recursion_tpu.parallel.multihost import (
+            fib_leaf_proof_bytes,
+            fib_leaf_recursion_input,
+            prove_leaves,
+        )
+
+        blobs = prove_leaves(
+            fib_leaf_proof_bytes,
+            [(args.n,) for _ in range(args.leaves)],
+            num_workers=args.workers,
+            env={"JAX_PLATFORMS": "cpu"} if args.cpu else None,
+        )
+        print(
+            f"[leaves] {len(blobs)} proofs from {args.workers} workers, "
+            f"{sum(len(b) for b in blobs)} proof bytes shipped"
+        )
+        level = [
+            fib_leaf_recursion_input(config, args.n, b) for b in blobs
+        ]
+    else:
+        level = [leaf(i) for i in range(args.leaves)]
     print(f"[leaves] {len(level)} proofs in {time.time()-t0:.1f}s")
     depth = 0
     prep_cache = {}

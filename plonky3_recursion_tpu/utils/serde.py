@@ -364,3 +364,27 @@ def uni_proof_from_bytes(data: bytes):
         prep_local=prep_local,
         prep_next=prep_next,
     )
+
+
+def batch_stark_proof_to_bytes(proof) -> bytes:
+    """Serialize a `prover.batch_prover.BatchStarkProof` — the unit of
+    inter-host traffic for distributed aggregation trees (reference:
+    `BatchStarkProof` is fully serde, `batch_stark_prover.rs:610-612`;
+    recursion state is exactly proof bytes, SURVEY.md §5)."""
+    out = bytearray(b"P3SB\x01")
+    _pack(np.asarray(proof.public_values, dtype=np.uint32), out)
+    out += batch_proof_to_bytes(proof.batch)
+    return bytes(out)
+
+
+def batch_stark_proof_from_bytes(data: bytes, config=None):
+    """Inverse of batch_stark_proof_to_bytes; validates the inner batch
+    proof against `config` when given (reference `validate()`)."""
+    from ..prover.batch_prover import BatchStarkProof
+
+    assert data[:5] == b"P3SB\x01", "bad batch-stark proof magic/version"
+    publics, pos = _unpack(memoryview(data), 5)
+    batch = batch_proof_from_bytes(data[pos:])
+    if config is not None:
+        validate_batch_proof(batch, config)
+    return BatchStarkProof(batch, np.asarray(publics, dtype=np.uint32))
