@@ -18,6 +18,7 @@ from __future__ import annotations
 import dataclasses
 
 from ..fields.extension import BinomialExtension
+from ..utils.gcpause import gc_paused_fn
 from .expr import ADD, BOOL, DIV, MUL, MULADD, SUB, ExprGraph
 
 
@@ -198,18 +199,20 @@ class CircuitBuilder:
                 base = self.mul(base, base)
         return acc if acc is not None else self.one()
 
-    def decompose_to_bits(self, x: int, n_bits: int) -> list[int]:
+    def decompose_to_bits(
+        self, x: int, n_bits: int, canonical: bool = False
+    ) -> list[int]:
         """Hint n_bits booleans with Σ b_i·2^i == x (constrains x to be a
         base-embedded value < 2^n_bits; reference BinaryDecompositionHint).
 
-        Known (inherited) slack: with n_bits = 31 the decomposition is
+        With canonical=False and n_bits = 31 the decomposition is
         constrained mod p but NOT to be canonical — for sampled v in
         [0, 2^31 − p) a malicious prover may witness v + p instead,
         flipping in-circuit FRI query-index bits / PoW checks for ~1/128
         of samples on KoalaBear.  This matches the reference construction
-        exactly (circuit_builder.rs:1066) and the security argument there:
-        query indices remain challenger-derived, the prover merely picks
-        among two valid encodings, which does not help it forge openings."""
+        exactly (circuit_builder.rs:1066).  canonical=True closes that
+        slack via `assert_bits_canonical` (the challenger circuit's
+        sample_bits / check_pow_witness use it)."""
         p = self.E.base.P
         d = self.E.D
 
@@ -226,7 +229,33 @@ class CircuitBuilder:
         for b in bits:
             self.assert_bool(b)
         self.connect(self.reconstruct_index_from_bits(bits), x)
+        if canonical:
+            self.assert_bits_canonical(bits)
         return bits
+
+    def assert_bits_canonical(self, bits: list[int]) -> None:
+        """Constrain Σ b_i·2^i < p for a full-width (31-bit) decomposition.
+
+        For p = 2^31 − 2^k + 1 (every Monty31 field here) a 31-bit value
+        v is non-canonical iff bits k..30 are all ones AND the low k bits
+        encode a nonzero value: v = (2^31 − 2^k) + low ≥ p ⟺ low ≥ 1.
+        With top = Π_{i≥k} b_i and low = Σ_{i<k} b_i·2^i the forbidden
+        region is exactly top·low ≠ 0 (top all-ones with low = 0 is
+        v = p − 1, canonical).  `low` is the length-k prefix of the
+        `reconstruct_index_from_bits` chain already emitted by
+        `decompose_to_bits`, so CSE shares it; net cost is ~(31−k)+1 MUL
+        rows per decomposition.  Closes the encoding slack the reference
+        leaves open (circuit_builder.rs:1066)."""
+        p = self.E.base.P
+        assert len(bits) == 31, "canonicity check needs a full-width decompose"
+        gap = (1 << 31) + 1 - p
+        k = gap.bit_length() - 1
+        assert gap == 1 << k, "field is not of the 2^31 - 2^k + 1 form"
+        top = bits[k]
+        for b in bits[k + 1 :]:
+            top = self.mul(top, b)
+        low = self.reconstruct_index_from_bits(bits[:k])
+        self.assert_zero(self.mul(top, low))
 
     def reconstruct_index_from_bits(self, bits: list[int]) -> int:
         acc = 0
@@ -441,6 +470,7 @@ class CircuitBuilder:
 
     # ----- build -----
 
+    @gc_paused_fn
     def build(self):
         from .compile import compile_circuit
 

@@ -184,6 +184,10 @@ class CircuitProverData:
     packing: TablePacking = dataclasses.field(default_factory=TablePacking)
 
 
+from ..utils.gcpause import gc_paused_fn
+
+
+@gc_paused_fn
 def circuit_prover_data(
     config: StarkConfig,
     circuit: Circuit,

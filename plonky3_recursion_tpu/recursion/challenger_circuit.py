@@ -244,7 +244,10 @@ class CircuitChallenger:
         FRI query-index samples for the native transcript replay."""
         self.record.append(("i", bits, is_index))
         v = self._sample_raw()
-        all_bits = self.b.decompose_to_bits(v, 31)
+        # canonical=True: without it a malicious prover could witness
+        # v + p instead of v for ~1/128 of samples, flipping query-index
+        # bits / PoW checks (see CircuitBuilder.assert_bits_canonical).
+        all_bits = self.b.decompose_to_bits(v, 31, canonical=True)
         return all_bits[:bits]
 
     def check_pow_witness(self, witness: int, bits: int):

@@ -233,6 +233,10 @@ class NextLayerPrep:
     )
 
 
+from ..utils.gcpause import gc_paused_fn
+
+
+@gc_paused_fn
 def build_next_layer_prep(
     config: StarkConfig,
     inner: RecursionInput,

@@ -153,6 +153,10 @@ def _lookup_names(instances) -> list[str]:
     return names
 
 
+from ..utils.gcpause import gc_paused_fn
+
+
+@gc_paused_fn
 def prove_batch(
     config: StarkConfig,
     instances: list[StarkInstance],

@@ -231,3 +231,60 @@ def test_muladd_fusion_pass():
     b.tag("s", b.add(t, z))
     c = b.build()
     assert sorted(r.kind for r in c.alu_rows) == [K_ADD, K_MUL]
+
+
+# ----- canonicity of full-width bit decompositions -----
+# (closes the v+p encoding slack the reference leaves open,
+# circuit_builder.rs:1066; see CircuitBuilder.assert_bits_canonical)
+
+from plonky3_recursion_tpu.fields import BABY_BEAR
+
+
+def _canonicity_circuit(field):
+    E = ext_field(field, 4)
+    b = CircuitBuilder(E)
+    bits = [b.private_input() for _ in range(31)]
+    for t in bits:
+        b.assert_bool(t)
+    b.assert_bits_canonical(bits)
+    return b.build()
+
+
+@pytest.mark.parametrize("field", ["kb", "bb"])
+def test_canonicity_accepts_canonical_values(field):
+    F = KOALA_BEAR if field == "kb" else BABY_BEAR
+    circuit = _canonicity_circuit(F)
+    for v in (0, 1, 3, F.P - 1, (1 << 31) - F.P - 1):
+        r = circuit.runner()
+        r.set_private_inputs([(v >> i) & 1 for i in range(31)])
+        r.run()
+
+
+@pytest.mark.parametrize("field", ["kb", "bb"])
+def test_canonicity_rejects_v_plus_p(field):
+    F = KOALA_BEAR if field == "kb" else BABY_BEAR
+    circuit = _canonicity_circuit(F)
+    # every representable non-canonical encoding v+p (v < 2^31 - p)
+    for v in (1, 2, (1 << 31) - F.P - 1):
+        attack = v + F.P
+        assert attack < (1 << 31)
+        r = circuit.runner()
+        r.set_private_inputs([(attack >> i) & 1 for i in range(31)])
+        with pytest.raises(WitnessConflict):
+            r.run()
+
+
+def test_decompose_canonical_flag_end_to_end():
+    """decompose_to_bits(canonical=True) still round-trips honest values."""
+    b = CircuitBuilder(E4)
+    x = b.public_input()
+    bits = b.decompose_to_bits(x, 31, canonical=True)
+    for i, bit in enumerate(bits):
+        b.tag(f"b{i}", bit)
+    circuit = b.build()
+    for v in (0, 12345, KOALA_BEAR.P - 1):
+        r = circuit.runner()
+        r.set_public_inputs([v])
+        traces = r.run()
+        got = sum(int(traces.probe(f"b{i}")[0]) << i for i in range(31))
+        assert got == v
