@@ -37,8 +37,11 @@ def _setup_jax_cache():
         pass
 
 
+_T0 = time.time()
+
+
 def log(msg):
-    print(msg, file=sys.stderr, flush=True)
+    print(f"[{time.time() - _T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
 
 
 def _probe_backend(timeout_s: float = 600.0):
@@ -138,6 +141,18 @@ def main():
         f"x{LAYER_BASELINE_MS / layer_ms:.3f})"
     )
 
+    print(
+        json.dumps(
+            {
+                "metric": "fib_recursion_layer",
+                "value": round(layer_ms, 1),
+                "unit": "ms",
+                "vs_baseline": round(LAYER_BASELINE_MS / layer_ms, 4),
+            }
+        ),
+        flush=True,
+    )
+
     # ---- Poseidon2 throughput (perms/s/chip) ----
     try:
         import jax
@@ -179,17 +194,6 @@ def main():
         )
     except Exception as e:  # throughput probe must never fail the bench
         log(f"[perm] probe skipped: {e}")
-
-    print(
-        json.dumps(
-            {
-                "metric": "fib_recursion_layer",
-                "value": round(layer_ms, 1),
-                "unit": "ms",
-                "vs_baseline": round(LAYER_BASELINE_MS / layer_ms, 4),
-            }
-        )
-    )
 
 
 if __name__ == "__main__":

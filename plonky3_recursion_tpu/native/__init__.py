@@ -24,19 +24,18 @@ _lib = None
 
 
 def _build():
-    subprocess.run(
-        [
-            "g++",
-            "-O2",
-            "-shared",
-            "-fPIC",
-            "-std=c++17",
-            _SRC,
-            "-o",
-            _SO,
-        ],
-        check=True,
-    )
+    base = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _SO]
+    # preferred: OpenMP + native tuning; degrade gracefully where missing
+    for extra in (["-fopenmp", "-march=native"], ["-fopenmp"], []):
+        try:
+            subprocess.run(
+                base[:1] + extra + base[1:], check=True,
+                capture_output=True,
+            )
+            return
+        except subprocess.CalledProcessError:
+            continue
+    subprocess.run(base, check=True)
 
 
 def get_lib():

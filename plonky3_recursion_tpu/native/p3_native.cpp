@@ -15,6 +15,10 @@
 #include <cstring>
 #include <vector>
 
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
 extern "C" {
 
 struct P3Field {
@@ -52,6 +56,7 @@ uint32_t p3n_mulmod(uint32_t p, uint32_t np, uint32_t r2, uint32_t a,
 void p3n_mulmod_vec(uint32_t p, uint32_t np, uint32_t r2, const uint32_t* a,
                     const uint32_t* b, uint32_t* out, uint64_t n) {
   P3Field f{p, np, r2};
+#pragma omp parallel for schedule(static) if (n > 65536)
   for (uint64_t i = 0; i < n; i++) out[i] = mulmod(&f, a[i], b[i]);
 }
 
@@ -137,6 +142,7 @@ void p3n_poseidon2_permute(void* handle, uint32_t* states, uint64_t n) {
   const P3Field* f = &h->f;
   int w = h->width;
   int rf2 = h->rf / 2;
+#pragma omp parallel for schedule(static) if (n > 256)
   for (uint64_t i = 0; i < n; i++) {
     uint32_t* s = states + i * w;
     ext_layer(h, s);
@@ -166,8 +172,9 @@ void p3n_poseidon2_permute_rows(void* handle, const uint32_t* states,
   int w = h->width;
   int rf2 = h->rf / 2;
   int rpp = 2 + h->rf + h->rp;
-  uint32_t s[64];
+#pragma omp parallel for schedule(static) if (n > 256)
   for (uint64_t i = 0; i < n; i++) {
+    uint32_t s[64];
     const uint32_t* in = states + i * w;
     uint32_t* o = out + i * (uint64_t)rpp * w;
     for (int j = 0; j < w; j++) s[j] = in[j];
@@ -211,8 +218,9 @@ void p3n_poseidon2_table_rows(void* handle, const uint32_t* states,
   int rf2 = h->rf / 2;
   int rpp = 2 + h->rf + h->rp;
   int mw = (1 + n_sbox) * w;
-  uint32_t s[64];
+#pragma omp parallel for schedule(static) if (n > 256)
   for (uint64_t i = 0; i < n; i++) {
+    uint32_t s[64];
     const uint32_t* in = states + i * w;
     uint32_t* base = out + i * (uint64_t)rpp * mw;
     for (int j = 0; j < w; j++) s[j] = in[j];

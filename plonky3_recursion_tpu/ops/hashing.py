@@ -23,6 +23,27 @@ def sponge_hash(params: Poseidon2Params, rows, rate: int, out: int, xp):
     n, length = rows.shape
     width = params.width
     state = xp.zeros((n, width), dtype=U32)
+    n_full = length // rate
+    if xp is not np and n_full > 1:
+        # scan over full chunks: ONE permutation instance in the compiled
+        # graph instead of length/rate of them (wide trace matrices absorb
+        # 30-60 chunks; unrolling them dominated XLA compile time)
+        from jax import lax
+
+        full = rows[:, : n_full * rate].reshape(n, n_full, rate)
+        full = xp.moveaxis(full, 1, 0)  # (n_full, n, rate)
+
+        def absorb(st, chunk):
+            st = st.at[:, :rate].set(chunk)
+            return permute(params, st, xp), None
+
+        state, _ = lax.scan(absorb, state, full)
+        start = n_full * rate
+        if start < length:
+            chunk = rows[:, start:]
+            state = state.at[:, : chunk.shape[1]].set(chunk)
+            state = permute(params, state, xp)
+        return state[:, :out]
     for start in range(0, length, rate):
         chunk = rows[:, start : start + rate]
         c = chunk.shape[1]
@@ -33,6 +54,52 @@ def sponge_hash(params: Poseidon2Params, rows, rate: int, out: int, xp):
             state = state.at[:, :c].set(chunk)
         state = permute(params, state, xp)
     return state[:, :out]
+
+
+def merkle_layers(params, leaf, xp, inject=None, unroll: int = 2):
+    """All digest layers of a 2-to-1 Merkle tree over `leaf` (N, 8).
+
+    inject: optional {height: digest rows (height, 8)} — when the chain
+    reaches `height`, the level is re-compressed with the injected digest
+    (mixed-height matrix batches).  Returns [leaf, ..., root layer].
+
+    jnp path: levels with injections (and the first `unroll` levels) are
+    emitted individually; the remaining pure 2-to-1 tail runs as ONE
+    `lax.scan` over a fixed-size buffer (prefix-valid, zero-padded) — one
+    compiled permutation instance instead of one per level.  The padded
+    tail costs ~log2(N)/2^(unroll+1)·N extra permutations (negligible for
+    unroll ≥ 2); results are bit-identical."""
+    inject = inject or {}
+    layers = [leaf]
+    layer = leaf
+    h = layer.shape[0]
+    emitted = 0
+    while h > 1 and (
+        xp is np
+        or emitted < unroll
+        or any(k < h for k in inject)
+    ):
+        h //= 2
+        layer = compress_pair(params, layer[0::2], layer[1::2], xp)
+        if h in inject:
+            layer = compress_pair(params, layer, inject[h], xp)
+        layers.append(layer)
+        emitted += 1
+    if h > 1:
+        from jax import lax
+
+        m = layer.shape[0]
+        steps = m.bit_length() - 1
+
+        def step(buf, _):
+            c = compress_pair(params, buf[0::2], buf[1::2], xp)
+            nb = xp.concatenate([c, xp.zeros_like(c)], axis=0)
+            return nb, c
+
+        _fin, cs = lax.scan(step, layer, None, length=steps)
+        for j in range(steps):
+            layers.append(cs[j][: m >> (j + 1)])
+    return layers
 
 
 def compress_pair(params: Poseidon2Params, left, right, xp):

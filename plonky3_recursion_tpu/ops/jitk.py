@@ -19,9 +19,53 @@ import numpy as np
 
 from ..fields.monty31 import Monty31, U32
 from ..fields.extension import BinomialExtension
-from .hashing import compress_pair, sponge_hash
-from .ntt import _bitrev_perm, _power_table, bit_reverse_rows, intt, ntt
+from .hashing import compress_pair, merkle_layers, sponge_hash
+from .ntt import (
+    _bitrev_perm,
+    _power_table,
+    bit_reverse_rows,
+    intt,
+    ntt,
+    ntt_tables,
+)
 from .poseidon2 import poseidon2_params
+
+# ----- device-resident constant tables -----
+#
+# Twiddle tables, bit-reversal permutations, power tables and selector
+# columns are ~n-element arrays.  Embedding them as HLO literals (the
+# obvious `jnp.asarray(const)` inside a jit body) made every fused prover
+# program tens of MB of HLO and pushed XLA compile times to minutes per
+# program.  Instead each factory uploads its tables ONCE (cached below) and
+# passes them through the jit boundary as runtime arguments.
+
+_DEV_CONSTS: dict = {}
+
+
+def _dev(arr: np.ndarray):
+    got = _DEV_CONSTS.get(id(arr))
+    if got is None:
+        got = jax.device_put(np.ascontiguousarray(arr))
+        _DEV_CONSTS[id(arr)] = got
+        _DEV_CONSTS[("keep", id(arr))] = arr  # pin: ids must stay unique
+    return got
+
+
+def _dev_ntt(field: Monty31, log_n: int, inverse: bool):
+    """Scanned-NTT stage tables, device-resident (shared across every
+    program transforming this size)."""
+    from .ntt import ntt_scan_tables
+
+    if log_n == 0:
+        return (_dev(_bitrev_perm(1)),) + tuple(
+            _dev(t) for t in np.zeros((4, 0, 0), dtype=np.int32)
+        )
+    tabs = ntt_scan_tables(field, log_n, inverse)
+    return tuple(_dev(t) for t in tabs)
+
+
+def _dev_bitrev(n: int):
+    return _dev(_bitrev_perm(n))
 
 
 @functools.lru_cache(maxsize=None)
@@ -40,16 +84,9 @@ def merkle_commit_fn(field: Monty31, shapes: tuple):
             rows = jnp.concatenate(by_height[h], axis=1)
             return sponge_hash(params, rows, 8, 8, jnp)
 
-        h = heights[0]
-        layer = rows_digest(h)
-        layers = [layer]
-        while h > 1:
-            h //= 2
-            layer = compress_pair(params, layer[0::2], layer[1::2], jnp)
-            if h in by_height:
-                layer = compress_pair(params, layer, rows_digest(h), jnp)
-            layers.append(layer)
-        return tuple(layers)
+        leaf = rows_digest(heights[0])
+        inject = {h: rows_digest(h) for h in heights[1:]}
+        return tuple(merkle_layers(params, leaf, jnp, inject))
 
     return jax.jit(fn)
 
@@ -90,15 +127,26 @@ def lde_commit_fn(
     unscale = None if shift == 1 else _power_table(field, inv_s, n)
     gpow = _power_table(field, int(field.generator), n)
 
-    def fn(evals):
-        coeffs = intt(field, evals, jnp)
-        if unscale is not None:
-            coeffs = field.monty_mul(coeffs, jnp.asarray(unscale)[:, None], jnp)
-        scaled = field.monty_mul(coeffs, jnp.asarray(gpow)[:, None], jnp)
-        lde = ntt(field, jnp.pad(scaled, [(0, m - n), (0, 0)]), jnp)
-        return coeffs, bit_reverse_rows(lde, jnp)
+    def fn(evals, consts):
+        unscale_d, gpow_d, intt_t, ntt_t, br = consts
+        coeffs = intt(field, evals, jnp, tables=intt_t)
+        if unscale_d is not None:
+            coeffs = field.monty_mul(coeffs, unscale_d[:, None], jnp)
+        scaled = field.monty_mul(coeffs, gpow_d[:, None], jnp)
+        lde = ntt(
+            field, jnp.pad(scaled, [(0, m - n), (0, 0)]), jnp, tables=ntt_t
+        )
+        return coeffs, bit_reverse_rows(lde, jnp, br)
 
-    return jax.jit(fn)
+    jfn = jax.jit(fn)
+    consts = (
+        None if unscale is None else _dev(unscale),
+        _dev(gpow),
+        _dev_ntt(field, log_n, True),
+        _dev_ntt(field, log_n + log_blowup, False),
+        _dev_bitrev(m),
+    )
+    return lambda evals: jfn(evals, consts)
 
 
 @functools.lru_cache(maxsize=None)
@@ -119,22 +167,38 @@ def round_commit_fn(field: Monty31, sig: tuple, log_blowup: int):
             else _power_table(field, pow(int(shift), p - 2, p), n)
         )
         gpow = _power_table(field, int(field.generator), n)
-        pre.append((shift, log_n, w, unscale, gpow))
+        pre.append(
+            (
+                log_n,
+                (
+                    None if unscale is None else _dev(unscale),
+                    _dev(gpow),
+                    _dev_ntt(field, log_n, True),
+                    _dev_ntt(field, log_n + log_blowup, False),
+                    _dev_bitrev(n << log_blowup),
+                ),
+            )
+        )
+    all_consts = tuple(c for _ln, c in pre)
 
-    def fn(*mats):
+    def fn(consts, *mats):
         coeffs_out = []
         ldes = []
-        for (shift, log_n, w, unscale, gpow), evals in zip(pre, mats):
+        for ((log_n, _c), evals, cc) in zip(pre, mats, consts):
+            unscale_d, gpow_d, intt_t, ntt_t, br = cc
             n = 1 << log_n
             m = n << log_blowup
-            coeffs = intt(field, evals, jnp)
-            if unscale is not None:
-                coeffs = field.monty_mul(
-                    coeffs, jnp.asarray(unscale)[:, None], jnp
-                )
-            scaled = field.monty_mul(coeffs, jnp.asarray(gpow)[:, None], jnp)
-            lde = ntt(field, jnp.pad(scaled, [(0, m - n), (0, 0)]), jnp)
-            lde = bit_reverse_rows(lde, jnp)
+            coeffs = intt(field, evals, jnp, tables=intt_t)
+            if unscale_d is not None:
+                coeffs = field.monty_mul(coeffs, unscale_d[:, None], jnp)
+            scaled = field.monty_mul(coeffs, gpow_d[:, None], jnp)
+            lde = ntt(
+                field,
+                jnp.pad(scaled, [(0, m - n), (0, 0)]),
+                jnp,
+                tables=ntt_t,
+            )
+            lde = bit_reverse_rows(lde, jnp, br)
             coeffs_out.append(coeffs)
             ldes.append(lde)
         # merkle over the LDEs (mixed heights)
@@ -146,20 +210,16 @@ def round_commit_fn(field: Monty31, sig: tuple, log_blowup: int):
             rows = jnp.concatenate(by_height[h], axis=1)
             return sponge_hash(params, rows, 8, 8, jnp)
 
-        h = max(by_height)
-        layer = rows_digest(h)
-        layers = [layer]
-        while h > 1:
-            h //= 2
-            layer = compress_pair(params, layer[0::2], layer[1::2], jnp)
-            if h in by_height:
-                layer = compress_pair(params, layer, rows_digest(h), jnp)
-            layers.append(layer)
+        hs = sorted(by_height, reverse=True)
+        leaf = rows_digest(hs[0])
+        inject = {h: rows_digest(h) for h in hs[1:]}
+        layers = merkle_layers(params, leaf, jnp, inject)
         # digest layers concatenated: stays DEVICE-RESIDENT (queries gather
         # siblings off the device; no bulk tree download)
         return tuple(coeffs_out), tuple(ldes), jnp.concatenate(layers, axis=0)
 
-    return jax.jit(fn)
+    jfn = jax.jit(fn)
+    return lambda *mats: jfn(all_consts, *mats)
 
 
 @functools.lru_cache(maxsize=None)
@@ -205,15 +265,16 @@ def fri_reduce_fn(field: Monty31, d: int, log_h: int, width: int):
     h = 1 << log_h
     x_br = domain_points(field, log_h, int(field.generator))[_bitrev_perm(h)]
 
-    def fn(lde, z, y_red, apow):
+    def fn(lde, z, y_red, apow, xs):
         num_red = reduce_matrix_ext(field, E, lde, apow, jnp)
-        xs = jnp.asarray(x_br)
         zx = E.sub(E.from_base(xs, jnp), jnp.broadcast_to(z, (h, d)), jnp)
         inv_zx = E.inv(zx, jnp)
         diff = E.sub(num_red, jnp.broadcast_to(y_red, (h, d)), jnp)
         return E.mul(diff, inv_zx, jnp)
 
-    return jax.jit(fn)
+    jfn = jax.jit(fn)
+    xs_d = _dev(x_br)
+    return lambda lde, z, y_red, apow: jfn(lde, z, y_red, apow, xs_d)
 
 
 _QUOTIENT_CACHE: dict = {}
@@ -249,18 +310,20 @@ def fri_fold_fn(field: Monty31, d: int, log_size: int, shift: int):
     _x, inv_2x = _fold_consts(field, log_size, shift)
     inv2 = field.monty_constant(pow(2, field.P - 2, field.P))
 
-    def fn(folded, beta):
+    def fn(folded, beta, inv_2x_d):
         a = folded[0::2]
         b = folded[1::2]
         s = E.add(a, b, jnp)
         dd = E.sub(a, b, jnp)
         even = field.monty_mul(s, jnp.asarray(inv2), jnp)
-        odd = E.mul_base(dd, jnp.asarray(inv_2x), jnp)
+        odd = E.mul_base(dd, inv_2x_d, jnp)
         return E.add(
             even, E.mul(odd, jnp.broadcast_to(beta, odd.shape), jnp), jnp
         )
 
-    return jax.jit(fn)
+    jfn = jax.jit(fn)
+    inv_2x_d = _dev(inv_2x)
+    return lambda folded, beta: jfn(folded, beta, inv_2x_d)
 
 
 @functools.lru_cache(maxsize=None)
@@ -313,20 +376,20 @@ def fri_reduce_all_fn(field: Monty31, d: int, sig: tuple):
 
     E = ext_field(field, d)
     heights = sorted({log_h for log_h, _w, _z, _o in sig}, reverse=True)
+    xs_by_h = {
+        log_h: _dev(
+            domain_points(field, log_h, int(field.generator))[
+                _bitrev_perm(1 << log_h)
+            ]
+        )
+        for log_h in heights
+    }
 
-    def fn(zs, y_reds, apows, *ldes):
+    def fn(zs, y_reds, apows, xs_map, *ldes):
         acc: dict[int, object] = {}
-        xs_cache: dict = {}
         for ti, ((log_h, w, zi, off), lde) in enumerate(zip(sig, ldes)):
             h = 1 << log_h
-            xs = xs_cache.get(log_h)
-            if xs is None:
-                xs = jnp.asarray(
-                    domain_points(field, log_h, int(field.generator))[
-                        _bitrev_perm(h)
-                    ]
-                )
-                xs_cache[log_h] = xs
+            xs = xs_map[str(log_h)]
             num_red = reduce_matrix_ext(
                 field, E, lde, apows[off : off + w], jnp
             )
@@ -344,7 +407,11 @@ def fri_reduce_all_fn(field: Monty31, d: int, sig: tuple):
             )
         return tuple(acc[lh] for lh in heights)
 
-    return jax.jit(fn)
+    jfn = jax.jit(fn)
+    xs_map = {str(lh): xs for lh, xs in xs_by_h.items()}
+    return lambda zs, y_reds, apows, *ldes: jfn(
+        zs, y_reds, apows, xs_map, *ldes
+    )
 
 
 @functools.lru_cache(maxsize=None)
@@ -367,10 +434,11 @@ def fri_phase_fold_fn(
     s = shift
     for t in range(arity):
         _x, inv_2x = _fold_consts(field, log_size - t, s)
-        consts.append(inv_2x)
+        consts.append(_dev(inv_2x))
         s = s * s % field.P
+    consts = tuple(consts)
 
-    def fn(folded, beta, *rollin):
+    def fn(folded, beta, consts_d, *rollin):
         beta_t = beta
         for t in range(arity):
             a = folded[0::2]
@@ -378,7 +446,7 @@ def fri_phase_fold_fn(
             ssum = E.add(a, b, jnp)
             dd = E.sub(a, b, jnp)
             even = field.monty_mul(ssum, jnp.asarray(inv2), jnp)
-            odd = E.mul_base(dd, jnp.asarray(consts[t]), jnp)
+            odd = E.mul_base(dd, consts_d[t], jnp)
             folded = E.add(
                 even,
                 E.mul(odd, jnp.broadcast_to(beta_t, odd.shape), jnp),
@@ -389,7 +457,8 @@ def fri_phase_fold_fn(
             folded = E.add(folded, rollin[0], jnp)
         return folded
 
-    return jax.jit(fn)
+    jfn = jax.jit(fn)
+    return lambda folded, beta, *rollin: jfn(folded, beta, consts, *rollin)
 
 
 @functools.lru_cache(maxsize=None)
@@ -463,8 +532,8 @@ def fri_phase_chain_fn(
     E = ext_field(field, d)
     params = poseidon2_params(field, 16)
     inv2 = field.monty_constant(pow(2, field.P - 2, field.P))
-    # per-phase fold constants
-    consts = []
+    # per-phase fold constants (device-resident args, not HLO literals)
+    consts_d = []
     shift = start_shift
     log_size = log_max
     for a in schedule:
@@ -472,13 +541,14 @@ def fri_phase_chain_fn(
         s = shift
         for t in range(a):
             _x, inv_2x = _fold_consts(field, log_size - t, s)
-            per.append(inv_2x)
+            per.append(_dev(inv_2x))
             s = s * s % field.P
-        consts.append(per)
+        consts_d.append(tuple(per))
         shift = s
         log_size -= a
+    consts_d = tuple(consts_d)
 
-    def fn(state, folded, *rollins):
+    def fn(state, folded, consts, *rollins):
         from .poseidon2 import permute
 
         roots = []
@@ -490,13 +560,9 @@ def fri_phase_chain_fn(
             group = 1 << a
             rows = folded.reshape((1 << ls) >> a, group * d)
             # single-matrix Merkle tree
-            layer = sponge_hash(params, rows, 8, 8, jnp)
-            layers = [layer]
-            h = layer.shape[0]
-            while h > 1:
-                layer = compress_pair(params, layer[0::2], layer[1::2], jnp)
-                layers.append(layer)
-                h //= 2
+            layers = merkle_layers(
+                params, sponge_hash(params, rows, 8, 8, jnp), jnp
+            )
             root = layers[-1][0]
             roots.append(root)
             rows_out.append(rows)
@@ -512,7 +578,7 @@ def fri_phase_chain_fn(
                 ssum = E.add(aa, bb, jnp)
                 dd = E.sub(aa, bb, jnp)
                 even = field.monty_mul(ssum, jnp.asarray(inv2), jnp)
-                odd = E.mul_base(dd, jnp.asarray(consts[ph][t]), jnp)
+                odd = E.mul_base(dd, consts[ph][t], jnp)
                 folded = E.add(
                     even,
                     E.mul(odd, jnp.broadcast_to(beta_t, odd.shape), jnp),
@@ -531,7 +597,10 @@ def fri_phase_chain_fn(
             tuple(flats_out),
         )
 
-    return jax.jit(fn)
+    jfn = jax.jit(fn)
+    return lambda state, folded, *rollins: jfn(
+        state, folded, consts_d, *rollins
+    )
 
 
 @functools.lru_cache(maxsize=None)

@@ -34,10 +34,15 @@ def _bitrev_perm(n: int) -> np.ndarray:
     return rev
 
 
-def bit_reverse_rows(x, xp):
-    n = x.shape[0]
-    perm = _bitrev_perm(n)
-    return x[xp.asarray(perm)] if xp is not np else x[perm]
+def bit_reverse_rows(x, xp, perm=None):
+    """perm: optional pre-uploaded bitrev permutation (a traced/device array
+    inside jit bodies — large index literals embedded in HLO slow XLA's
+    compile dramatically on the TPU path, so jitted callers pass it in)."""
+    if perm is None:
+        perm = _bitrev_perm(x.shape[0])
+        if xp is not np:
+            perm = xp.asarray(perm)
+    return x[perm]
 
 
 @functools.lru_cache(maxsize=None)
@@ -61,20 +66,107 @@ def _stage_twiddles(field: Monty31, log_n: int, inverse: bool) -> tuple:
     return tuple(out)
 
 
-def ntt(field: Monty31, x, xp, inverse: bool = False):
+def ntt_tables(field: Monty31, log_n: int, inverse: bool) -> tuple:
+    """Host-side constant tables one `ntt` call needs: (bitrev perm,
+    per-stage twiddles).  Jitted callers upload these once (see
+    `ops.jitk._dev`) and pass them through the jit boundary as runtime
+    args — embedding ~n-element literals per NTT instance made XLA
+    compiles of the fused prover programs minutes-long."""
+    return (
+        _bitrev_perm(1 << log_n),
+        _stage_twiddles(field, log_n, inverse),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def ntt_scan_tables(field: Monty31, log_n: int, inverse: bool) -> tuple:
+    """Uniform-shape stage tables for the SCANNED device NTT: every DIT
+    stage becomes gather(a) / gather(b) → butterfly → gather(out), so the
+    whole transform is ONE `lax.scan` body for XLA to compile instead of
+    log2(n) distinct unrolled stages.  Returns (bitrev_perm (n,),
+    a_idx (L, n/2), b_idx (L, n/2), inv_perm (L, n), tw (L, n/2))."""
+    n = 1 << log_n
+    stages = _stage_twiddles(field, log_n, inverse)
+    a_idx = np.empty((log_n, n // 2), dtype=np.int32)
+    b_idx = np.empty((log_n, n // 2), dtype=np.int32)
+    inv_perm = np.empty((log_n, n), dtype=np.int32)
+    tw = np.empty((log_n, n // 2), dtype=np.uint32)
+    for s in range(1, log_n + 1):
+        m = 1 << s
+        half = m // 2
+        blocks = n // m
+        j = np.arange(half, dtype=np.int32)
+        blk = np.arange(blocks, dtype=np.int32)[:, None]
+        p = (blk * m + j).reshape(-1)  # (n/2,)
+        rank = (blk * half + j).reshape(-1)
+        a_idx[s - 1] = p
+        b_idx[s - 1] = p + half
+        inv = np.empty(n, dtype=np.int32)
+        inv[p] = rank
+        inv[p + half] = n // 2 + rank
+        inv_perm[s - 1] = inv
+        tw[s - 1] = np.tile(stages[s - 1], blocks)
+    return _bitrev_perm(n), a_idx, b_idx, inv_perm, tw
+
+
+def ntt_scanned(field: Monty31, x, xp, tables):
+    """Bit-identical to `ntt` but with all stages in one lax.scan (jnp
+    only); `tables` from `ntt_scan_tables`, passed through the jit
+    boundary as runtime args."""
+    from jax import lax
+
+    n = x.shape[0]
+    perm, a_idx, b_idx, inv_perm, tw = tables
+    if n == 1:
+        return x
+    x = x[perm]
+    trailing = (1,) * (x.ndim - 1)
+
+    def stage(xc, inp):
+        ai, bi, ip, tws = inp
+        a = xc[ai]
+        b = xc[bi]
+        t = field.monty_mul(b, tws.reshape((n // 2,) + trailing), xp)
+        out = xp.concatenate(
+            [field.add(a, t, xp), field.sub(a, t, xp)], axis=0
+        )
+        return out[ip], None
+
+    x, _ = lax.scan(stage, x, (a_idx, b_idx, inv_perm, tw))
+    return x
+
+
+def ntt_scanned_inv_scale(field: Monty31, x, xp):
+    n = x.shape[0]
+    n_inv_m = field.monty_constant(pow(n, field.P - 2, field.P))
+    return field.monty_mul(x, xp.asarray(n_inv_m), xp)
+
+
+def ntt(field: Monty31, x, xp, inverse: bool = False, tables=None):
     """In-order radix-2 DIT NTT down axis 0 of (N, ...) canonical u32."""
     n = x.shape[0]
     log_n = n.bit_length() - 1
     assert 1 << log_n == n, "NTT length must be a power of two"
     if n == 1:
         return x
-    x = bit_reverse_rows(x, xp)
-    stages = _stage_twiddles(field, log_n, inverse)
+    if tables is not None and len(tables) == 5:
+        x = ntt_scanned(field, x, xp, tables)
+        if inverse:
+            x = ntt_scanned_inv_scale(field, x, xp)
+        return x
+    if tables is None:
+        perm, stages = ntt_tables(field, log_n, inverse)
+        if xp is not np:
+            perm = xp.asarray(perm)
+            stages = tuple(xp.asarray(s) for s in stages)
+    else:
+        perm, stages = tables
+    x = bit_reverse_rows(x, xp, perm)
     trailing = x.shape[1:]
     for s in range(1, log_n + 1):
         m = 1 << s
         half = m // 2
-        tw = xp.asarray(stages[s - 1])  # (half,)
+        tw = stages[s - 1]  # (half,)
         blocks = x.reshape((n // m, m) + trailing)
         a = blocks[:, :half]
         b = blocks[:, half:]
@@ -89,8 +181,8 @@ def ntt(field: Monty31, x, xp, inverse: bool = False):
     return x
 
 
-def intt(field: Monty31, x, xp):
-    return ntt(field, x, xp, inverse=True)
+def intt(field: Monty31, x, xp, tables=None):
+    return ntt(field, x, xp, inverse=True, tables=tables)
 
 
 @functools.lru_cache(maxsize=None)

@@ -113,6 +113,33 @@ def poseidon2_params(field: Monty31, width: int) -> Poseidon2Params:
     return Poseidon2Params(field, width, rf, rp, rc_ext, rc_int, diag)
 
 
+_NATIVE_PERM_CACHE: dict = {}
+_NATIVE_MIN_BATCH = 32  # below this the ctypes round-trip beats nothing
+
+
+def _native_perm(params: Poseidon2Params):
+    """Cached C++ permutation engine for `params` (None if unavailable or
+    disabled via P3_NO_NATIVE=1).  `poseidon2_params` is lru-cached, so
+    id(params) is a stable key."""
+    import os
+
+    if os.environ.get("P3_NO_NATIVE"):
+        return None
+    got = _NATIVE_PERM_CACHE.get(id(params))
+    if got is not None:
+        return got
+    try:
+        from ..native import NativePoseidon2
+
+        eng = NativePoseidon2(params)
+    except Exception:
+        eng = None
+    _NATIVE_PERM_CACHE[id(params)] = eng
+    # keep params alive so the id can never be recycled
+    _NATIVE_PERM_CACHE[("params", id(params))] = params
+    return eng
+
+
 def _sbox_monty(F: Monty31, x, degree: int, xp):
     """x^degree with x in Monty form (result in Monty form)."""
     x2 = F.monty_mul(x, x, xp)
@@ -175,6 +202,12 @@ def permute(params: Poseidon2Params, state, xp):
     """
     F = params.field
     width = params.width
+    if xp is np and state.size >= _NATIVE_MIN_BATCH * width:
+        # big host batches run on the multicore C++ engine (bit-identical;
+        # cross-checked against the numpy and scalar paths in tests)
+        eng = _native_perm(params)
+        if eng is not None:
+            return eng.permute(np.asarray(state, dtype=U32))
     deg = F.sbox_degree
     rf2 = params.full_rounds // 2
     diag_m = xp.asarray(params.diag_m)
@@ -209,15 +242,69 @@ def permute(params: Poseidon2Params, state, xp):
         for r in range(rf2, params.full_rounds):
             sm = ext_round(sm, rc_ext_m[r])
     else:
+        # ONE scan over a unified round schedule (ext and int rounds share
+        # a body; a per-round flag selects the linear layer).  A permute
+        # instance costs XLA one scan-body compile instead of three, and
+        # the prover's fused programs contain dozens of instances — this
+        # cut their compile times ~2-3x.  Selecting between both layers is
+        # nearly free: M_E is add-only and M_I is one mul per lane.
         from jax import lax
 
-        step_e = lambda s, rc: (ext_round(s, rc), None)  # noqa: E731
-        step_i = lambda s, rc: (int_round(s, rc), None)  # noqa: E731
-        sm, _ = lax.scan(step_e, sm, rc_ext_m[:rf2])
-        sm, _ = lax.scan(step_i, sm, rc_int_m)
-        sm, _ = lax.scan(step_e, sm, rc_ext_m[rf2:])
+        rc_all, is_ext = _unified_rounds(params)
+        rc_all = xp.asarray(rc_all)
+        is_ext = xp.asarray(is_ext)
+        lane0 = xp.arange(width, dtype=xp.uint32) == 0
+
+        def step(sm, inp):
+            rc, ext_flag = inp
+            t = F.add(sm, rc, xp)
+            sb = _sbox_monty(F, t, deg, xp)
+            s2 = xp.where(ext_flag | lane0, sb, t)
+            e_out = _external_layer(F, s2, width, xp)
+            i_out = _internal_layer(F, s2, diag_m, xp)
+            return xp.where(ext_flag, e_out, i_out), None
+
+        sm, _ = lax.scan(step, sm, (rc_all, is_ext))
 
     return F.from_monty(sm, xp)
+
+
+_UNIFIED_CACHE: dict = {}
+
+
+def _unified_rounds(params: Poseidon2Params):
+    got = _UNIFIED_CACHE.get(id(params))
+    if got is not None:
+        return got
+    got = _unified_rounds_build(params)
+    _UNIFIED_CACHE[id(params)] = got
+    _UNIFIED_CACHE[("params", id(params))] = params  # pin id
+    return got
+
+
+def _unified_rounds_build(params: Poseidon2Params):
+    """(n_rounds, width) Monty round constants + (n_rounds,) ext-round
+    flags for the unified-scan permutation (ext rc rows as-is; int rounds
+    place rc in lane 0 and zeros elsewhere, so `state + rc` touches only
+    lane 0 — exactly the int-round rule)."""
+    rf2 = params.full_rounds // 2
+    width = params.width
+    rows = []
+    flags = []
+    rc_ext_m = params.rc_ext_m
+    rc_int_m = params.field.monty_array(params.rc_int)
+    for r in range(rf2):
+        rows.append(rc_ext_m[r])
+        flags.append(True)
+    for r in range(params.partial_rounds):
+        row = np.zeros(width, dtype=U32)
+        row[0] = rc_int_m[r]
+        rows.append(row)
+        flags.append(False)
+    for r in range(rf2, params.full_rounds):
+        rows.append(rc_ext_m[r])
+        flags.append(True)
+    return np.stack(rows), np.asarray(flags)
 
 
 def permute_with_rows(params: Poseidon2Params, states, xp):

@@ -812,15 +812,26 @@ def _quotient_jit(config, inst, builder, shape, names, challenges, alpha, pm, te
     )
     gpow = _power_table(F, F.generator, n)
     sels = lde_selectors(F, s.log_n, lq, F.generator)
+    from ..ops.jitk import _dev, _dev_ntt
+
+    consts_d = {
+        "gpow": _dev(gpow),
+        "intt_t": _dev_ntt(F, s.log_n, True),
+        "ntt_t": _dev_ntt(F, s.log_n + lq, False),
+        "sels": {k: _dev(np.ascontiguousarray(v)) for k, v in sels.items()},
+    }
 
     def make():
-        def to_coset(mat):
-            coeffs = intt(F, mat, jnp)
-            scaled = F.monty_mul(coeffs, jnp.asarray(gpow)[:, None], jnp)
-            return ntt(F, jnp.pad(scaled, [(0, m - n), (0, 0)]), jnp)
+        def to_coset(mat, cd):
+            coeffs = intt(F, mat, jnp, tables=cd["intt_t"])
+            scaled = F.monty_mul(coeffs, cd["gpow"][:, None], jnp)
+            return ntt(
+                F, jnp.pad(scaled, [(0, m - n), (0, 0)]), jnp,
+                tables=cd["ntt_t"],
+            )
 
-        def fn(trace, prep, perm_flat, pubs, chal, term_arr, alpha_arr):
-            lde_main = to_coset(trace)
+        def fn(trace, prep, perm_flat, pubs, chal, term_arr, alpha_arr, cd):
+            lde_main = to_coset(trace, cd)
             pcols = inst.air.periodic_columns()
             bindings = {
                 "main": {
@@ -847,26 +858,24 @@ def _quotient_jit(config, inst, builder, shape, names, challenges, alpha, pm, te
                 "challenges": [chal[k] for k in range(2 * len(names))],
                 "terminals": [term_arr[g] for g in range(n_terms)],
                 "sels": {
-                    k: ("base", jnp.asarray(v)) for k, v in sels.items()
+                    k: ("base", v) for k, v in cd["sels"].items()
                 },
             }
             if wp:
-                lde_prep = to_coset(prep)
+                lde_prep = to_coset(prep, cd)
                 bindings["preprocessed"] = {
                     0: ("base", lde_prep),
                     1: ("base", jnp.roll(lde_prep, -(1 << lq), axis=0)),
                 }
             if npc:
-                lde_perm = to_coset(perm_flat).reshape(m, npc, E.D)
+                lde_perm = to_coset(perm_flat, cd).reshape(m, npc, E.D)
                 bindings["perm"] = {
                     0: lde_perm,
                     1: jnp.roll(lde_perm, -(1 << lq), axis=0),
                 }
             ev = Evaluator(F, E, jnp)
             folded = _fold_constraints(E, builder, ev, bindings, alpha_arr, jnp)
-            return E.mul_base(
-                folded, jnp.asarray(sels["inv_vanishing"]), jnp
-            )
+            return E.mul_base(folded, cd["sels"]["inv_vanishing"], jnp)
 
         return fn
 
@@ -901,4 +910,5 @@ def _quotient_jit(config, inst, builder, shape, names, challenges, alpha, pm, te
         chal,
         term_arr,
         np.asarray(alpha, dtype=U32),
+        consts_d,
     )
