@@ -88,32 +88,33 @@ class BinomialExtension:
     def _mul_monty_rhs(self, a, b_m, xp):
         """a (canonical) * b_m (coeffs in Monty form) -> canonical.
 
-        Schoolbook D*D products with x^D = W reduction; cost D^2 + D
-        monty_muls. Unrolled (D is static) so XLA sees a flat fused graph.
+        ONE broadcast monty_mul computes all D*D coefficient products at
+        once; anti-diagonal sums c_k = Σ_{i+j=k} come from a shear-pad +
+        D-term modular add tree, and x^D = W folds the overflow columns
+        back.  ~25 array ops per ext mul instead of ~200 — the symbolic
+        constraint evaluators trace tens of thousands of ext muls, and the
+        per-op dispatch cost of the unrolled form dominated both tracing
+        and XLA compile time.
         """
         F = self.base
         D = self.D
-        cols_lo = []  # c_k (k < D) before W-fold
-        cols_hi = []  # c_{k+D} overflow terms
-        for k in range(2 * D - 1):
-            terms = []
-            for i in range(max(0, k - D + 1), min(D, k + 1)):
-                j = k - i
-                terms.append(F.monty_mul(a[..., i], b_m[..., j], xp))
-            acc = terms[0]
-            for t in terms[1:]:
-                acc = F.add(acc, t, xp)
-            if k < D:
-                cols_lo.append(acc)
-            else:
-                cols_hi.append(acc)
-        out = []
-        for k in range(D):
-            v = cols_lo[k]
-            if k < len(cols_hi):
-                v = F.add(v, F.monty_mul(cols_hi[k], self.w_monty, xp), xp)
-            out.append(v)
-        return xp.stack(out, axis=-1)
+        if D == 1:
+            return F.monty_mul(a, b_m, xp)
+        # (..., D_i, D_j) all pairwise products in one op
+        prod = F.monty_mul(a[..., :, None], b_m[..., None, :], xp)
+        # shear: row i shifted right by i over width 2D-1, then mod-p sum
+        pad_spec = [(0, 0)] * (prod.ndim - 2)
+        sheared = [
+            xp.pad(prod[..., i, :], pad_spec + [(i, D - 1 - i)])
+            for i in range(D)
+        ]
+        acc = sheared[0]
+        for t in sheared[1:]:
+            acc = F.add(acc, t, xp)  # (..., 2D-1)
+        lo = acc[..., :D]
+        hi_fold = F.monty_mul(acc[..., D:], self.w_monty, xp)  # (..., D-1)
+        hi = xp.pad(hi_fold, pad_spec + [(0, 1)])
+        return F.add(lo, hi, xp)
 
     def mul(self, a, b, xp):
         b_m = self.base.to_monty(b, xp)

@@ -52,16 +52,14 @@ def _dev(arr: np.ndarray):
 
 
 def _dev_ntt(field: Monty31, log_n: int, inverse: bool):
-    """Scanned-NTT stage tables, device-resident (shared across every
-    program transforming this size)."""
-    from .ntt import ntt_scan_tables
-
-    if log_n == 0:
-        return (_dev(_bitrev_perm(1)),) + tuple(
-            _dev(t) for t in np.zeros((4, 0, 0), dtype=np.int32)
-        )
-    tabs = ntt_scan_tables(field, log_n, inverse)
-    return tuple(_dev(t) for t in tabs)
+    """NTT stage tables (bitrev perm + per-stage twiddles), device-resident
+    and shared across every program transforming this size.  The unrolled
+    reshape-based stages are used — a scan-over-stages gather formulation
+    compiled marginally faster but ran ~50x slower (row gathers of wide
+    matrices are a slow path on TPU; reshape/concat stages stream at
+    memory speed)."""
+    perm, stages = ntt_tables(field, log_n, inverse)
+    return (_dev(perm), tuple(_dev(s) for s in stages))
 
 
 def _dev_bitrev(n: int):

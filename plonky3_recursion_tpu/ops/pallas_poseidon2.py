@@ -167,3 +167,10 @@ def permute_pallas(
     xt = xt.at[:, :n].set(states.T)
     out = _pallas_perm_fn(params, interpret)(xt)
     return out[:, :n].T
+
+
+def permute_pallas_nd(params: Poseidon2Params, state):
+    """(..., width) wrapper used by `ops.poseidon2.permute` on TPU."""
+    lead = state.shape[:-1]
+    flat = state.reshape(-1, params.width)
+    return permute_pallas(params, flat).reshape(lead + (params.width,))

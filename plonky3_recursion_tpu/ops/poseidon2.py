@@ -115,6 +115,28 @@ def poseidon2_params(field: Monty31, width: int) -> Poseidon2Params:
 
 _NATIVE_PERM_CACHE: dict = {}
 _NATIVE_MIN_BATCH = 32  # below this the ctypes round-trip beats nothing
+_USE_PALLAS: bool | None = None
+
+
+def _use_pallas() -> bool:
+    """Device (jnp-path) permutations run the fused Pallas kernel on real
+    TPU backends (~4x the scan formulation, bit-identical); CPU-backend
+    runs (tests, mesh dryruns) keep the portable scan path.  Disable with
+    P3_NO_PALLAS=1."""
+    global _USE_PALLAS
+    if _USE_PALLAS is None:
+        import os
+
+        if os.environ.get("P3_NO_PALLAS"):
+            _USE_PALLAS = False
+        else:
+            try:
+                import jax
+
+                _USE_PALLAS = jax.default_backend() != "cpu"
+            except Exception:
+                _USE_PALLAS = False
+    return _USE_PALLAS
 
 
 def _native_perm(params: Poseidon2Params):
@@ -210,6 +232,12 @@ def permute(params: Poseidon2Params, state, xp):
             return eng.permute(np.asarray(state, dtype=U32))
     deg = F.sbox_degree
     rf2 = params.full_rounds // 2
+    if xp is not np:
+        if _use_pallas():
+            from .pallas_poseidon2 import permute_pallas_nd
+
+            return permute_pallas_nd(params, state)
+        return _permute_scanned_t(params, state, xp)
     diag_m = xp.asarray(params.diag_m)
     rc_ext_m = xp.asarray(params.rc_ext_m)
     rc_int_m = xp.asarray(F.monty_array(params.rc_int))
@@ -234,39 +262,91 @@ def permute(params: Poseidon2Params, state, xp):
             sm = sm.at[..., 0].set(s0)
         return _internal_layer(F, sm, diag_m, xp)
 
-    if xp is np:
-        for r in range(rf2):
-            sm = ext_round(sm, rc_ext_m[r])
-        for r in range(params.partial_rounds):
-            sm = int_round(sm, rc_int_m[r])
-        for r in range(rf2, params.full_rounds):
-            sm = ext_round(sm, rc_ext_m[r])
-    else:
-        # ONE scan over a unified round schedule (ext and int rounds share
-        # a body; a per-round flag selects the linear layer).  A permute
-        # instance costs XLA one scan-body compile instead of three, and
-        # the prover's fused programs contain dozens of instances — this
-        # cut their compile times ~2-3x.  Selecting between both layers is
-        # nearly free: M_E is add-only and M_I is one mul per lane.
-        from jax import lax
-
-        rc_all, is_ext = _unified_rounds(params)
-        rc_all = xp.asarray(rc_all)
-        is_ext = xp.asarray(is_ext)
-        lane0 = xp.arange(width, dtype=xp.uint32) == 0
-
-        def step(sm, inp):
-            rc, ext_flag = inp
-            t = F.add(sm, rc, xp)
-            sb = _sbox_monty(F, t, deg, xp)
-            s2 = xp.where(ext_flag | lane0, sb, t)
-            e_out = _external_layer(F, s2, width, xp)
-            i_out = _internal_layer(F, s2, diag_m, xp)
-            return xp.where(ext_flag, e_out, i_out), None
-
-        sm, _ = lax.scan(step, sm, (rc_all, is_ext))
+    for r in range(rf2):
+        sm = ext_round(sm, rc_ext_m[r])
+    for r in range(params.partial_rounds):
+        sm = int_round(sm, rc_int_m[r])
+    for r in range(rf2, params.full_rounds):
+        sm = ext_round(sm, rc_ext_m[r])
 
     return F.from_monty(sm, xp)
+
+
+def _permute_scanned_t(params: Poseidon2Params, state, xp):
+    """Device permutation: ONE scan over a unified round schedule (ext and
+    int rounds share a body; a per-round flag selects the linear layer) —
+    one scan-body compile per instance instead of three, which cut the
+    fused prover programs' XLA compile times ~2-3x.  Selecting between
+    both layers is nearly free: M_E is add-only, M_I one mul per lane.
+
+    Layout: the state is transposed to (width, ...batch) for the rounds —
+    with the batch in the MINOR dims every elementwise op fills full TPU
+    vector lanes (a (N, 16) layout leaves 7/8 of the 128-wide lanes idle).
+    """
+    from jax import lax
+
+    F = params.field
+    width = params.width
+    deg = F.sbox_degree
+    st = xp.moveaxis(state, -1, 0)  # (width, ...batch)
+    st = _external_layer_t(F, st, width, xp)
+    st = F.to_monty(st, xp)
+
+    rc_all, is_ext = _unified_rounds(params)
+    tail = (1,) * (st.ndim - 1)
+    rc_all = xp.asarray(rc_all).reshape((rc_all.shape[0], width) + tail)
+    is_ext = xp.asarray(is_ext)
+    lane0 = (xp.arange(width, dtype=xp.uint32) == 0).reshape(
+        (width,) + tail
+    )
+    diag_t = xp.asarray(params.diag_m).reshape((width,) + tail)
+
+    def step(s, inp):
+        rc, ext_flag = inp
+        t = F.add(s, rc, xp)
+        sb = _sbox_monty(F, t, deg, xp)
+        s2 = xp.where(ext_flag | lane0, sb, t)
+        e_out = _external_layer_t(F, s2, width, xp)
+        i_out = _internal_layer_t(F, s2, diag_t, xp)
+        return xp.where(ext_flag, e_out, i_out), None
+
+    st, _ = lax.scan(step, st, (rc_all, is_ext))
+    return xp.moveaxis(F.from_monty(st, xp), 0, -1)
+
+
+def _m4_chunk_t(F: Monty31, c, xp):
+    """M4 on (G, 4, ...batch) transposed chunks (coefficient axis 1)."""
+    x0, x1, x2, x3 = c[:, 0], c[:, 1], c[:, 2], c[:, 3]
+    t01 = F.add(x0, x1, xp)
+    t23 = F.add(x2, x3, xp)
+    t0123 = F.add(t01, t23, xp)
+    t01123 = F.add(t0123, x1, xp)
+    t01233 = F.add(t0123, x3, xp)
+    y3 = F.add(t01233, F.double(x0, xp), xp)
+    y1 = F.add(t01123, F.double(x2, xp), xp)
+    y0 = F.add(t01123, t01, xp)
+    y2 = F.add(t01233, t23, xp)
+    return xp.stack([y0, y1, y2, y3], axis=1)
+
+
+def _external_layer_t(F: Monty31, state_t, width: int, xp):
+    """M_E on (width, ...batch) transposed state."""
+    chunks = state_t.reshape((width // 4, 4) + state_t.shape[1:])
+    m4d = _m4_chunk_t(F, chunks, xp)
+    acc = m4d[0]
+    for g in range(1, width // 4):
+        acc = F.add(acc, m4d[g], xp)
+    out = F.add(m4d, acc[None], xp)
+    return out.reshape(state_t.shape)
+
+
+def _internal_layer_t(F: Monty31, state_t, diag_t, xp):
+    """M_I on (width, ...batch) transposed Monty-form state."""
+    acc = state_t[0]
+    for i in range(1, state_t.shape[0]):
+        acc = F.add(acc, state_t[i], xp)
+    dx = F.monty_mul(state_t, diag_t, xp)
+    return F.add(dx, acc[None], xp)
 
 
 _UNIFIED_CACHE: dict = {}

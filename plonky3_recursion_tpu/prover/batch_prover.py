@@ -265,6 +265,7 @@ class BatchStarkProver:
     def __init__(self, config: StarkConfig):
         self.config = config
 
+    @gc_paused_fn
     def prove_all_tables(
         self,
         circuit: Circuit,
@@ -299,17 +300,18 @@ class BatchStarkProver:
                         jnp.asarray(p) for p in preps
                     )
                 preps = prover_data._device_preps
-        instances = _instances(
-            self.config,
-            circuit,
-            preps,
-            mains,
-            prover_data.packing,
-        )
-        publics = traces.witness[
-            np.asarray(circuit.public_rows, dtype=np.int64)
-        ]
-        instances[1].publics = [int(x) for x in publics.reshape(-1)]
+        with span("build_instances"):
+            instances = _instances(
+                self.config,
+                circuit,
+                preps,
+                mains,
+                prover_data.packing,
+            )
+            publics = traces.witness[
+                np.asarray(circuit.public_rows, dtype=np.int64)
+            ]
+            instances[1].publics = [int(x) for x in publics.reshape(-1)]
         with span("prove_batch"):
             batch = prove_batch(
                 self.config,

@@ -76,7 +76,17 @@ class VerifierCircuitResult:
     def query_indices(self, proof: BatchProof) -> list:
         """Native replay of the circuit's transcript record -> the FRI
         query indices of `proof` (needed to supply merkle direction bits
-        as NPO private data)."""
+        as NPO private data).
+
+        Fast path: a proof produced in-process carries the prover's own
+        sampled indices (`FriProof.query_indices` — derived data, never
+        serialized), skipping the replay entirely; deserialized proofs
+        fall back to the full replay.  The indices only feed PRIVATE data
+        (direction bits / siblings), so a wrong value cannot forge a
+        proof — the in-circuit sample_bits re-derives and constrains them."""
+        cached = getattr(proof.fri, "query_indices", None)
+        if cached is not None:
+            return list(cached)
         nodes = self.builder.g.nodes
         from ..circuit.expr import CONST
 
@@ -110,7 +120,10 @@ class VerifierCircuitResult:
         """Per-tag NPO private data: merkle direction bits + sibling
         digests for every in-circuit MMCS path (reference
         `set_fri_mmcs_private_data`, `recursion/src/pcs/mmcs.rs:653`)."""
-        indices = self.query_indices(proof)
+        from ..utils.tracing import span
+
+        with span("query_indices_replay"):
+            indices = self.query_indices(proof)
         out = {}
         for spec in self.npo_specs:
             if spec[0] == "in":

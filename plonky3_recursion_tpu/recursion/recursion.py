@@ -327,6 +327,7 @@ class NextLayerPrepCache:
         return prep
 
 
+@gc_paused_fn
 def prove_next_layer(
     config: StarkConfig,
     prep: NextLayerPrep,
@@ -334,13 +335,23 @@ def prove_next_layer(
     xp=np,
     debug_lookups: bool = False,
 ) -> BatchStarkProof:
+    # gc_paused: the proof/packing loops allocate heavily while the heap
+    # holds millions of live circuit-graph objects; a mid-prove gen-2
+    # collection was measured at ~7s on the layer workload
+    from ..utils.tracing import span
+
     runner = prep.circuit.runner()
-    runner.set_public_inputs(prep.vcr.pack_public_inputs(inner_proof.batch))
-    runner.set_private_inputs(
-        prep.vcr.pack_private_inputs(inner_proof.batch)
-    )
-    prep.backend.set_private_data(runner, prep.vcr, inner_proof.batch)
-    traces = runner.run()
+    with span("pack_inputs"):
+        runner.set_public_inputs(
+            prep.vcr.pack_public_inputs(inner_proof.batch)
+        )
+        runner.set_private_inputs(
+            prep.vcr.pack_private_inputs(inner_proof.batch)
+        )
+    with span("set_private_data"):
+        prep.backend.set_private_data(runner, prep.vcr, inner_proof.batch)
+    with span("runner.run"):
+        traces = runner.run()
     prover = BatchStarkProver(config)
     return prover.prove_all_tables(
         prep.circuit, traces, prep.pdata, xp=xp, debug_lookups=debug_lookups

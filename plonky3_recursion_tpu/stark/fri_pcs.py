@@ -128,6 +128,13 @@ class FriProof:
     final_coeffs: np.ndarray  # (final_len, D)
     pow_witness: int
     query_proofs: list
+    # prover-side cache of the sampled query indices (NOT part of the
+    # proof: derivable from the transcript, never serialized, dropped on
+    # deserialization).  Lets the recursion layer skip a full host-side
+    # transcript replay when packing Merkle direction bits.
+    query_indices: list | None = dataclasses.field(
+        default=None, compare=False
+    )
 
 
 @functools.lru_cache(maxsize=None)
@@ -466,8 +473,10 @@ class TwoAdicFriPcs:
             max(m.log_n + P.log_blowup for m in data.matrices)
             for data, _p in rounds
         ]
+        indices = []
         for _ in range(P.num_queries):
             index = challenger.sample_bits(log_max)
+            indices.append(index)
             input_openings = []
             for (data, _pts), rlm in zip(rounds, round_log_max):
                 opened_rows, sibs = self.mmcs.open_batch(
@@ -488,6 +497,7 @@ class TwoAdicFriPcs:
             final_coeffs,
             pow_witness,
             query_proofs,
+            query_indices=indices,
         )
         return opened, proof
 
@@ -881,6 +891,7 @@ class TwoAdicFriPcs:
             final_coeffs,
             pow_witness,
             query_proofs,
+            query_indices=list(indices),
         )
         return opened, proof
 

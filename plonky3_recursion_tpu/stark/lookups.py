@@ -158,14 +158,17 @@ def generate_perm_columns(
     lookups close in-table and carry no terminal).
     """
     ev = Evaluator(F, E, xp)
-    stacked = []
-    terminals = []
+
+    # pass 1: compressed denominators + multiplicities per interaction
+    denoms = []  # (n, D) per interaction, all lookups flattened
+    mults = []  # (kind, value)
+    spans = []  # per lookup: list of interaction counts per PAIR_BATCH col
     for lk in lookups:
         alpha, beta = challenges[lk.name]
-        cols = []
+        per_col = []
         for start in range(0, len(lk.interactions), PAIR_BATCH):
             batch = lk.interactions[start : start + PAIR_BATCH]
-            aux = None
+            per_col.append(len(batch))
             for inter in batch:
                 exprs = [_lift(v) for v in inter.values] + [_lift(inter.mult)]
                 vals = ev.run(exprs, trace_bindings)
@@ -180,11 +183,33 @@ def generate_perm_columns(
                     else:
                         term = E.mul(v, xp.broadcast_to(apow[k], v.shape), xp)
                     comp = term if comp is None else E.add(comp, term, xp)
-                denom = E.sub(
-                    xp.broadcast_to(xp.asarray(beta), comp.shape), comp, xp
+                denoms.append(
+                    E.sub(
+                        xp.broadcast_to(xp.asarray(beta), comp.shape),
+                        comp,
+                        xp,
+                    )
                 )
-                inv_d = E.inv(denom, xp)
-                mkind, mval = vals[-1]
+                mults.append(vals[-1])
+        spans.append(per_col)
+
+    # batch inversion (Montgomery's trick): ONE extension inversion for
+    # all interactions + 3(K-1) ext muls, instead of K inversions — the
+    # per-row Fermat/Frobenius inverse dominated permutation-column time
+    invs = _batch_inv_ext(E, denoms, xp)
+
+    # pass 2: aux columns, running sums, terminals
+    stacked = []
+    terminals = []
+    ii = 0
+    for lk, per_col in zip(lookups, spans):
+        cols = []
+        for cnt in per_col:
+            aux = None
+            for _ in range(cnt):
+                inv_d = invs[ii]
+                mkind, mval = mults[ii]
+                ii += 1
                 if mkind == "base":
                     term = E.mul_base(inv_d, mval, xp)
                 else:
@@ -202,6 +227,26 @@ def generate_perm_columns(
             )
     perm = xp.concatenate(stacked, axis=1)  # (n, Σ(1+aux), D)
     return perm, terminals
+
+
+def _batch_inv_ext(E, xs: list, xp) -> list:
+    """Elementwise inverses of a list of (n, D) ext arrays with one E.inv
+    (Montgomery batch inversion); values identical to per-array E.inv."""
+    k = len(xs)
+    if k == 0:
+        return []
+    if k == 1:
+        return [E.inv(xs[0], xp)]
+    prefix = [xs[0]]
+    for x in xs[1:]:
+        prefix.append(E.mul(prefix[-1], x, xp))
+    run = E.inv(prefix[-1], xp)
+    out = [None] * k
+    for i in range(k - 1, 0, -1):
+        out[i] = E.mul(run, prefix[i - 1], xp)
+        run = E.mul(run, xs[i], xp)
+    out[0] = run
+    return out
 
 
 def check_lookups_balance(terminals: list[np.ndarray], E, raise_on_fail=True):
