@@ -163,35 +163,24 @@ def main():
             poseidon2_params,
         )
 
+        import numpy as _np
+
         params16 = poseidon2_params(KOALA_BEAR, 16)
-        batch = 1 << 16
+        batch = 1 << 21
+
+        def sync(a):
+            # block_until_ready does not actually block through the
+            # remote-device tunnel; a download does
+            return _np.asarray(a[:1, :1])
+
+        # default device path (Pallas kernel on TPU)
         states = jnp.zeros((batch, 16), dtype=jnp.uint32)
         fn = jax.jit(lambda s: permute(params16, s, jnp))
-        fn(states).block_until_ready()
+        sync(fn(states))
         t0 = time.time()
-        reps = 8
-        for _ in range(reps):
-            states = fn(states)
-        states.block_until_ready()
+        sync(fn(states))
         dt = time.time() - t0
-        log(f"[perm] Poseidon2 W16 {reps * batch / dt / 1e6:.2f} M perms/s")
-        # Pallas kernel probe (opt-in path, ops/pallas_poseidon2.py)
-        from plonky3_recursion_tpu.ops.pallas_poseidon2 import (
-            permute_pallas,
-        )
-
-        states_p = jnp.zeros((batch, 16), dtype=jnp.uint32)
-        permute_pallas(params16, states_p).block_until_ready()
-        t0 = time.time()
-        out = states_p
-        for _ in range(reps):
-            out = permute_pallas(params16, out)
-        out.block_until_ready()
-        dt = time.time() - t0
-        log(
-            f"[perm] Poseidon2 W16 (pallas) "
-            f"{reps * batch / dt / 1e6:.2f} M perms/s"
-        )
+        log(f"[perm] Poseidon2 W16 {batch / dt / 1e6:.2f} M perms/s")
     except Exception as e:  # throughput probe must never fail the bench
         log(f"[perm] probe skipped: {e}")
 
