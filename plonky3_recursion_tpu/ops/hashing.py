@@ -56,7 +56,7 @@ def sponge_hash(params: Poseidon2Params, rows, rate: int, out: int, xp):
     return state[:, :out]
 
 
-def merkle_layers(params, leaf, xp, inject=None, unroll: int = 2):
+def merkle_layers(params, leaf, xp, inject=None, unroll: int = 4):
     """All digest layers of a 2-to-1 Merkle tree over `leaf` (N, 8).
 
     inject: optional {height: digest rows (height, 8)} — when the chain
@@ -67,8 +67,8 @@ def merkle_layers(params, leaf, xp, inject=None, unroll: int = 2):
     emitted individually; the remaining pure 2-to-1 tail runs as ONE
     `lax.scan` over a fixed-size buffer (prefix-valid, zero-padded) — one
     compiled permutation instance instead of one per level.  The padded
-    tail costs ~log2(N)/2^(unroll+1)·N extra permutations (negligible for
-    unroll ≥ 2); results are bit-identical."""
+    tail costs ~log2(N)/2^(unroll+1)·N extra permutations (~50% of true
+    tree work at unroll=4); results are bit-identical."""
     inject = inject or {}
     layers = [leaf]
     layer = leaf

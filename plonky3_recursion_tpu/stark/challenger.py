@@ -131,9 +131,12 @@ class DuplexChallenger:
     def sample_vec(self, n: int) -> np.ndarray:
         return np.asarray([self.sample() for _ in range(n)], dtype=U32)
 
-    def _grind_device(self, bits: int, batch: int = 1 << 16) -> int:
-        """One device call tries 64k candidates; smallest hit wins (same
-        witness the host batch scan finds)."""
+    def _grind_device(self, bits: int, batch: int = 1 << 19) -> int:
+        """One device call tries 512k candidates; smallest hit wins (same
+        witness the host batch scan finds).  At the standard 15-bit query
+        PoW a 64k batch missed ~14% of the time, paying a second device
+        round-trip; 512k candidates cost ~1ms more compute and miss with
+        probability ~1e-7."""
         from ..ops.jitk import grind_fn
 
         k = len(self.input_buffer)
