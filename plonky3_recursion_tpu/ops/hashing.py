@@ -22,6 +22,13 @@ def sponge_hash(params: Poseidon2Params, rows, rate: int, out: int, xp):
     """
     n, length = rows.shape
     width = params.width
+    if xp is not np:
+        from .poseidon2 import _use_pallas
+
+        if _use_pallas():
+            from .pallas_poseidon2 import sponge_pallas
+
+            return sponge_pallas(params, rows, rate, out)
     state = xp.zeros((n, width), dtype=U32)
     n_full = length // rate
     if xp is not np and n_full > 1:

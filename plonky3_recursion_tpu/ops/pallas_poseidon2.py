@@ -174,3 +174,109 @@ def permute_pallas_nd(params: Poseidon2Params, state):
     lead = state.shape[:-1]
     flat = state.reshape(-1, params.width)
     return permute_pallas(params, flat).reshape(lead + (params.width,))
+
+
+def _build_pallas_sponge_fn(
+    params: Poseidon2Params, length: int, rate: int, out: int, interpret: bool
+):
+    """PaddingFreeSponge over (length,)-wide rows as ONE kernel: the duplex
+    state lives in VMEM across every absorb, so leaf hashing reads the
+    matrix block once and writes only the digests (the per-chunk permute
+    formulation round-tripped the state through HBM per chunk)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    F = params.field
+    width = params.width
+    deg = F.sbox_degree
+    rf = params.full_rounds
+    rp = params.partial_rounds
+    rf2 = rf // 2
+    rc_ext_np = np.asarray(params.rc_ext_m)
+    rc_int_np = np.asarray(F.monty_array(params.rc_int)).reshape(rp, 1)
+    diag_np = np.asarray(params.diag_m).reshape(width, 1)
+    m4_block, ext_round, int_round = _round_body(F, width, deg)
+
+    def perm(s, rce_ref, rci_ref, diag_ref):
+        import jax.numpy as jnp
+
+        s = m4_block(s)
+        sm = F.to_monty(s, jnp)
+        diag_col = diag_ref[:]
+        for r in range(rf2):
+            sm = ext_round(sm, rce_ref[r, :][:, None])
+        for r in range(rp):
+            sm = int_round(sm, rci_ref[r, 0], diag_col)
+        for r in range(rf2, rf):
+            sm = ext_round(sm, rce_ref[r, :][:, None])
+        return F.from_monty(sm, jnp)
+
+    def kernel(x_ref, rce_ref, rci_ref, diag_ref, o_ref):
+        state = jnp.zeros((width, TILE), dtype=jnp.uint32)
+        for start in range(0, length, rate):
+            c = min(rate, length - start)
+            chunk = x_ref[start : start + c, :]
+            state = jnp.concatenate([chunk, state[c:]], axis=0)
+            state = perm(state, rce_ref, rci_ref, diag_ref)
+        o_ref[:] = state[:out]
+
+    @jax.jit
+    def run(xt):  # (length, n_pad) canonical u32
+        n_pad = xt.shape[1]
+        full = lambda shape: pl.BlockSpec(  # noqa: E731
+            shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+        )
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((out, n_pad), jnp.uint32),
+            grid=(n_pad // TILE,),
+            in_specs=[
+                pl.BlockSpec(
+                    (length, TILE),
+                    lambda i: (0, i),
+                    memory_space=pltpu.VMEM,
+                ),
+                full((rf, width)),
+                full((rp, 1)),
+                full((width, 1)),
+            ],
+            out_specs=pl.BlockSpec(
+                (out, TILE), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
+            interpret=interpret,
+        )(
+            xt,
+            jnp.asarray(rc_ext_np),
+            jnp.asarray(rc_int_np),
+            jnp.asarray(diag_np),
+        )
+
+    return run
+
+
+def _pallas_sponge_fn(params, length, rate, out, interpret):
+    key = ("sponge", params.field.name, params.width, length, rate, out, interpret)
+    cached = _FN_CACHE.get(key)
+    if cached is None:
+        cached = _FN_CACHE[key] = _build_pallas_sponge_fn(
+            params, length, rate, out, interpret
+        )
+    return cached
+
+
+def sponge_pallas(
+    params: Poseidon2Params, rows, rate: int, out: int, interpret: bool = False
+):
+    """PaddingFreeSponge on (n, L) canonical u32 rows -> (n, out) digests,
+    bit-identical to `ops.hashing.sponge_hash`."""
+    import jax.numpy as jnp
+
+    rows = jnp.asarray(rows, dtype=jnp.uint32)
+    n, length = rows.shape
+    n_pad = max(TILE, ((n + TILE - 1) // TILE) * TILE)
+    xt = jnp.zeros((length, n_pad), dtype=jnp.uint32)
+    xt = xt.at[:, :n].set(rows.T)
+    o = _pallas_sponge_fn(params, length, rate, out, interpret)(xt)
+    return o[:, :n].T

@@ -35,3 +35,23 @@ def test_pallas_small_batch(rng):
     want = permute(p, states, np)
     got = np.asarray(permute_pallas(p, states, interpret=True))
     assert np.array_equal(want, got)
+
+
+@pytest.mark.parametrize(
+    "field,width,rate,length",
+    [
+        (KOALA_BEAR, 16, 8, 38),   # partial tail chunk (38 = 4*8 + 6)
+        (KOALA_BEAR, 16, 8, 32),   # exact multiple of rate
+        (BABY_BEAR, 16, 8, 19),
+        (KOALA_BEAR, 32, 24, 50),  # arity-4 leaf digests (W32, rate 24)
+    ],
+)
+def test_pallas_sponge_matches_host(rng, field, width, rate, length):
+    from plonky3_recursion_tpu.ops.hashing import sponge_hash
+    from plonky3_recursion_tpu.ops.pallas_poseidon2 import sponge_pallas
+
+    p = poseidon2_params(field, width)
+    rows = field.rand(rng, (TILE + 53, length))
+    want = sponge_hash(p, rows, rate, 8, np)
+    got = np.asarray(sponge_pallas(p, rows, rate, 8, interpret=True))
+    assert np.array_equal(want, got)
