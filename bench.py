@@ -13,11 +13,21 @@ an Apple M4 Pro 14 cores (BASELINE.md, `book/src/appendix/benchmark.md:59`).
 the reference).
 
 Secondary numbers (stderr): base-proof time vs its 42.6 ms baseline, and
-Poseidon2 perms/s/chip.
+Poseidon2 perms/s/chip (probed BEFORE the layer section so a throughput
+number always lands in the tail).
+
+Robustness contract: the driver runs this under an unknown external
+timeout (observed killing at ~1430 s in rounds 2–3).  Exactly one JSON
+line is emitted no matter how the process ends: on clean completion, on
+the wall-clock watchdog (BENCH_DEADLINE_S, default 900 s), on SIGTERM/
+SIGINT from an external `timeout`, or on an exception after the first
+milestone.  Best-so-far semantics: every completed milestone updates
+_BEST; whichever exit path fires first prints it exactly once.
 """
 
 import json
 import os
+import signal
 import sys
 import threading
 import time
@@ -26,14 +36,11 @@ LAYER_BASELINE_MS = 147.0
 BASE_BASELINE_MS = 42.6
 N = 10_000
 
-# ---- best-so-far watchdog ------------------------------------------------
-# The driver runs this script under an unknown external timeout; a cold
-# XLA compile through the remote-TPU relay can exceed it (round-2 bench
-# was killed with no JSON line recorded).  Every completed milestone
-# updates _BEST; at BENCH_DEADLINE_S the watchdog prints the best
-# milestone's JSON line and exits 0 so the driver always gets a metric.
+# ---- once-only best-so-far emission ---------------------------------------
 _BEST: dict | None = None
 _FINISHED = threading.Event()
+_EMIT_LOCK = threading.Lock()
+_EMITTED = False
 
 
 def _set_best(metric: str, value_ms: float, baseline_ms: float) -> dict:
@@ -47,20 +54,48 @@ def _set_best(metric: str, value_ms: float, baseline_ms: float) -> dict:
     return _BEST
 
 
+def _emit(tag: str) -> bool:
+    """Print the best-so-far JSON line exactly once. Returns True if this
+    call was the one that emitted."""
+    global _EMITTED
+    with _EMIT_LOCK:
+        if _EMITTED or _BEST is None:
+            return False
+        _EMITTED = True
+        log(f"[bench] emitting ({tag}): {_BEST['metric']}={_BEST['value']}ms")
+        print(json.dumps(_BEST), flush=True)
+        return True
+
+
 def _start_watchdog():
-    deadline = float(os.environ.get("BENCH_DEADLINE_S", "2400"))
+    try:
+        deadline = float(os.environ.get("BENCH_DEADLINE_S", "900"))
+    except (TypeError, ValueError):
+        deadline = 900.0
 
     def run():
         if _FINISHED.wait(deadline):
             return
-        if _BEST is not None:
-            log(f"[bench] deadline {deadline:.0f}s hit — emitting best-so-far")
-            print(json.dumps(_BEST), flush=True)
+        if _emit(f"deadline {deadline:.0f}s"):
             os._exit(0)
+        if _EMITTED:
+            return
         log(f"[bench] deadline {deadline:.0f}s hit with no milestone — abort")
         os._exit(4)
 
     threading.Thread(target=run, daemon=True).start()
+
+
+def _on_signal(signum, frame):
+    # External `timeout` sends SIGTERM before SIGKILL; flush the best
+    # milestone so the driver still records a metric.
+    if _emit(f"signal {signum}"):
+        os._exit(0)
+    os._exit(5)
+
+
+signal.signal(signal.SIGTERM, _on_signal)
+signal.signal(signal.SIGINT, _on_signal)
 
 
 def _setup_jax_cache():
@@ -84,8 +119,6 @@ def log(msg):
 def _probe_backend(timeout_s: float = 600.0):
     """Fail fast (instead of hanging forever) when the TPU tunnel is
     unreachable: device discovery runs under a watchdog."""
-    import threading
-
     done = threading.Event()
 
     def watchdog():
@@ -103,6 +136,44 @@ def _probe_backend(timeout_s: float = 600.0):
     devs = jax.devices()
     done.set()
     log(f"[bench] backend: {devs}")
+
+
+def _poseidon2_probe():
+    """Poseidon2 W16 throughput (perms/s/chip) — stderr only, never fatal."""
+    try:
+        import jax
+        import jax.numpy as jnp
+        import numpy as _np
+
+        from plonky3_recursion_tpu.fields import KOALA_BEAR
+        from plonky3_recursion_tpu.ops.poseidon2 import (
+            permute,
+            poseidon2_params,
+        )
+
+        params16 = poseidon2_params(KOALA_BEAR, 16)
+        batch = 1 << 21
+
+        def sync(a):
+            # block_until_ready does not actually block through the
+            # remote-device tunnel; a download does
+            return _np.asarray(a[:1, :1])
+
+        states = jnp.zeros((batch, 16), dtype=jnp.uint32)
+        fn = jax.jit(lambda s: permute(params16, s, jnp))
+        sync(fn(states))
+        t0 = time.time()
+        sync(fn(states))
+        dt = time.time() - t0
+        perms_s = batch / dt
+        # arithmetic-intensity context: ~2,576 field mul-adds per W16
+        # permutation (see STATUS.md "MFU accounting")
+        log(
+            f"[perm] Poseidon2 W16 {perms_s / 1e6:.2f} M perms/s "
+            f"(~{perms_s * 2576 / 1e9:.0f} Gop/s field mul-adds)"
+        )
+    except Exception as e:
+        log(f"[perm] probe skipped: {e}")
 
 
 def main():
@@ -158,62 +229,38 @@ def main():
         f"(reference {BASE_BASELINE_MS} ms, x{BASE_BASELINE_MS / base_ms:.3f})"
     )
 
+    # ---- Poseidon2 throughput BEFORE the layer section ----
+    _poseidon2_probe()
+
     # ---- layer: recursively verify + re-prove at standard params ----
-    inner = RecursionInput(proof, circuit, pdata)
-    t0 = time.time()
-    prep = build_next_layer_prep(config, inner)
-    log(
-        f"[prep] layer circuit: {len(prep.circuit.alu_rows)} alu rows, "
-        f"{len(prep.circuit.npo_calls)} perms "
-        f"(built in {time.time() - t0:.1f}s)"
-    )
-    prove_next_layer(config, prep, proof)  # warmup/compile
-    t0 = time.time()
-    layer_proof = prove_next_layer(config, prep, proof)
-    layer_ms = (time.time() - t0) * 1e3
-    BatchStarkProver(config).verify_all_tables(
-        prep.circuit, layer_proof, prep.pdata
-    )
-    final = _set_best("fib_recursion_layer", layer_ms, LAYER_BASELINE_MS)
-    log(
-        f"[layer] prove_next_layer {layer_ms:.1f} ms "
-        f"(reference {LAYER_BASELINE_MS} ms, "
-        f"x{LAYER_BASELINE_MS / layer_ms:.3f})"
-    )
-
-    # ---- Poseidon2 throughput (perms/s/chip) ----
+    # Anything failing past this point still emits the base milestone.
     try:
-        import jax
-        import jax.numpy as jnp
-
-        from plonky3_recursion_tpu.ops.poseidon2 import (
-            permute,
-            poseidon2_params,
-        )
-
-        import numpy as _np
-
-        params16 = poseidon2_params(KOALA_BEAR, 16)
-        batch = 1 << 21
-
-        def sync(a):
-            # block_until_ready does not actually block through the
-            # remote-device tunnel; a download does
-            return _np.asarray(a[:1, :1])
-
-        # default device path (Pallas kernel on TPU)
-        states = jnp.zeros((batch, 16), dtype=jnp.uint32)
-        fn = jax.jit(lambda s: permute(params16, s, jnp))
-        sync(fn(states))
+        inner = RecursionInput(proof, circuit, pdata)
         t0 = time.time()
-        sync(fn(states))
-        dt = time.time() - t0
-        log(f"[perm] Poseidon2 W16 {batch / dt / 1e6:.2f} M perms/s")
-    except Exception as e:  # throughput probe must never fail the bench
-        log(f"[perm] probe skipped: {e}")
+        prep = build_next_layer_prep(config, inner)
+        log(
+            f"[prep] layer circuit: {len(prep.circuit.alu_rows)} alu rows, "
+            f"{len(prep.circuit.npo_calls)} perms "
+            f"(built in {time.time() - t0:.1f}s)"
+        )
+        prove_next_layer(config, prep, proof)  # warmup/compile
+        t0 = time.time()
+        layer_proof = prove_next_layer(config, prep, proof)
+        layer_ms = (time.time() - t0) * 1e3
+        BatchStarkProver(config).verify_all_tables(
+            prep.circuit, layer_proof, prep.pdata
+        )
+        _set_best("fib_recursion_layer", layer_ms, LAYER_BASELINE_MS)
+        log(
+            f"[layer] prove_next_layer {layer_ms:.1f} ms "
+            f"(reference {LAYER_BASELINE_MS} ms, "
+            f"x{LAYER_BASELINE_MS / layer_ms:.3f})"
+        )
+    except Exception as e:
+        log(f"[layer] FAILED ({type(e).__name__}: {e}) — emitting base metric")
 
     _FINISHED.set()
-    print(json.dumps(final), flush=True)
+    _emit("finished")
 
 
 if __name__ == "__main__":
