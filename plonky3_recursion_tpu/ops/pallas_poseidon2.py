@@ -11,11 +11,11 @@ Layout: states arrive (n, width); the wrapper transposes to
 the batch and the width-16/24/32 state sits in sublanes — each round is
 then pure elementwise/lane-local work plus cross-sublane adds.
 
-This kernel is NOT wired into the default compute path yet: it is
-exercised in interpreter mode on CPU for bit-exactness against
-`ops.poseidon2.permute`, and opt-in on TPU via `use_pallas=True` (to be
-enabled as default once profiled on real hardware — the remote tunnel
-must be up to compile-check it).
+This kernel IS the default device permutation on TPU backends:
+`ops.poseidon2.permute` dispatches here for jnp inputs on TPU (bit-exact
+with the scan path, which CPU keeps).  It is also exercised in
+interpreter mode on CPU for bit-exactness against `ops.poseidon2.permute`
+(tests/test_pallas_poseidon2.py).
 
 Reference: the permutation itself mirrors `ops/poseidon2.py` (initial
 external layer, RF/2 external, RP internal, RF/2 external rounds).

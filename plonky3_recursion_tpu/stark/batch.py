@@ -167,6 +167,14 @@ def prove_batch(
     F, E, pcs = config.field, config.ext, config.pcs
     if common is None:
         common = commit_preprocessed(config, instances, xp)
+    from .fused import fused_eligible, fused_prove_batch
+
+    if fused_eligible(config, common):
+        # whole-prove fusion: the entire prove (transcript included) as
+        # ONE device program — bit-identical proofs (stark/fused.py)
+        return fused_prove_batch(
+            config, instances, common, debug_lookups=debug_lookups
+        )
     names = _lookup_names(instances)
     challenge_idx = {nm: 2 * i for i, nm in enumerate(names)}
     builders = [_instance_builder(inst, challenge_idx) for inst in instances]

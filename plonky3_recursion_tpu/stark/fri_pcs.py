@@ -2,8 +2,10 @@
 
 TPU-native equivalent of the reference's upstream `p3-fri`
 (`TwoAdicFriPcs`, `FriParameters`) + the PCS face of `p3-commit`
-(SURVEY.md §2.6).  Arity-2 folding (max_log_arity=1); the phase schedule is
-kept explicit so higher arities can slot in later.
+(SURVEY.md §2.6).  Variable-arity folding: each phase folds 2^a with
+a ≤ max_log_arity (`FriParams.standard()` uses max_log_arity=2, matching
+the reference's example defaults), the schedule stopping at pending
+roll-in heights (`fri_phase_schedule`).
 
 Layout / protocol conventions (self-consistent across prover, native
 verifier and the recursion circuits):
@@ -165,6 +167,7 @@ class TwoAdicFriPcs:
         mesh=None,
         mesh_axis: str = "rows",
         cap_height: int = 0,
+        fuse_full: bool = True,
     ):
         """hiding_salt_cols > 0 enables salted (hiding) commitments: every
         distinct LDE height in a commit gets a random salt matrix hashed
@@ -190,6 +193,10 @@ class TwoAdicFriPcs:
         self.salt_rng = salt_rng or np.random.default_rng()
         self.mesh = mesh
         self.mesh_axis = mesh_axis
+        # whole-prove fusion (stark/fused.py): when eligible, prove_batch
+        # runs commits + transcript + quotient + FRI + queries as ONE
+        # device program.  fuse_full=False forces the staged path.
+        self.fuse_full = fuse_full
         assert mesh is None or not hiding_salt_cols, (
             "mesh-sharded hiding commitments not wired yet"
         )

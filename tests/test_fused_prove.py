@@ -1,0 +1,140 @@
+"""Whole-prove fusion parity: fused_prove_batch == staged prove_batch.
+
+The fused path (stark/fused.py) runs the entire prove as ONE device
+program with an on-device duplex challenger; proofs must be bit-identical
+to the staged path (same transcript, same openings, same FRI proof).
+"""
+
+import numpy as np
+import pytest
+
+from plonky3_recursion_tpu.circuit import CircuitBuilder
+from plonky3_recursion_tpu.fields import KOALA_BEAR, ext_field
+from plonky3_recursion_tpu.prover import BatchStarkProver, circuit_prover_data
+from plonky3_recursion_tpu.stark.fri_pcs import FriParams
+from plonky3_recursion_tpu.stark.uni import koala_bear_config
+
+
+def _fib_circuit(n=64):
+    E4 = ext_field(KOALA_BEAR, 4)
+    b = CircuitBuilder(E4)
+    a = b.public_input()
+    bb = b.public_input()
+    res = b.public_input()
+    for _ in range(n):
+        a, bb = bb, b.add(a, bb)
+    b.connect(bb, res)
+    x, y = 0, 1
+    for _ in range(n):
+        x, y = y, (x + y) % KOALA_BEAR.P
+    return b.build(), [0, 1, y]
+
+
+def _prove(config, circuit, pubs, pdata):
+    runner = circuit.runner()
+    runner.set_public_inputs(pubs)
+    traces = runner.run()
+    return BatchStarkProver(config).prove_all_tables(circuit, traces, pdata)
+
+
+def _assert_proofs_equal(a, b):
+    a, b = a.batch, b.batch
+    assert np.array_equal(a.trace_commit, b.trace_commit)
+    assert np.array_equal(a.quotient_commit, b.quotient_commit)
+    if a.perm_commit is None:
+        assert b.perm_commit is None
+    else:
+        assert np.array_equal(a.perm_commit, b.perm_commit)
+    for (xa, ya), (xb, yb) in zip(a.trace_openings, b.trace_openings):
+        assert np.array_equal(np.asarray(xa), np.asarray(xb))
+        assert np.array_equal(np.asarray(ya), np.asarray(yb))
+    for (ia, xa, ya), (ib, xb, yb) in zip(a.prep_openings, b.prep_openings):
+        assert ia == ib
+        assert np.array_equal(np.asarray(xa), np.asarray(xb))
+        assert np.array_equal(np.asarray(ya), np.asarray(yb))
+    for (ia, xa, ya), (ib, xb, yb) in zip(a.perm_openings, b.perm_openings):
+        assert ia == ib
+        assert np.array_equal(np.asarray(xa), np.asarray(xb))
+        assert np.array_equal(np.asarray(ya), np.asarray(yb))
+    for ca, cb in zip(a.quotient_chunks, b.quotient_chunks):
+        for xa, xb in zip(ca, cb):
+            assert np.array_equal(np.asarray(xa), np.asarray(xb))
+    for (ia, ta), (ib, tb) in zip(a.lookup_terminals, b.lookup_terminals):
+        assert ia == ib
+        assert np.array_equal(np.asarray(ta), np.asarray(tb))
+    assert a.publics == b.publics
+    fa, fb = a.fri, b.fri
+    assert len(fa.commit_digests) == len(fb.commit_digests)
+    for da, db in zip(fa.commit_digests, fb.commit_digests):
+        assert np.array_equal(np.asarray(da), np.asarray(db))
+    assert np.array_equal(fa.final_coeffs, fb.final_coeffs)
+    assert int(fa.pow_witness) == int(fb.pow_witness)
+    assert fa.query_indices == fb.query_indices
+    for qa, qb in zip(fa.query_proofs, fb.query_proofs):
+        for (rows_a, sibs_a), (rows_b, sibs_b) in zip(
+            qa.input_openings, qb.input_openings
+        ):
+            for ra, rb in zip(rows_a, rows_b):
+                assert np.array_equal(np.asarray(ra), np.asarray(rb))
+            for sa, sb in zip(sibs_a, sibs_b):
+                assert np.array_equal(np.asarray(sa), np.asarray(sb))
+        for (ra, sa), (rb, sb) in zip(qa.commit_steps, qb.commit_steps):
+            assert np.array_equal(np.asarray(ra), np.asarray(rb))
+            for xa, xb in zip(sa, sb):
+                assert np.array_equal(np.asarray(xa), np.asarray(xb))
+
+
+def test_fused_matches_staged_base_proof():
+    circuit, pubs = _fib_circuit()
+    cfg_f = koala_bear_config(FriParams.testing(), use_jit=True)
+    cfg_s = koala_bear_config(FriParams.testing(), use_jit=True)
+    cfg_s.pcs.fuse_full = False
+    pdata = circuit_prover_data(cfg_f, circuit)
+    proof_f = _prove(cfg_f, circuit, pubs, pdata)
+    proof_s = _prove(cfg_s, circuit, pubs, pdata)
+    _assert_proofs_equal(proof_f, proof_s)
+    BatchStarkProver(cfg_s).verify_all_tables(circuit, proof_f, pdata)
+
+
+def test_fused_matches_staged_with_pow():
+    """Standard-style params with query PoW exercises the in-program grind."""
+    circuit, pubs = _fib_circuit(32)
+    params = FriParams(
+        log_blowup=1,
+        num_queries=4,
+        log_final_poly_len=2,
+        max_log_arity=2,
+        commit_pow_bits=0,
+        query_pow_bits=8,
+    )
+    cfg_f = koala_bear_config(params, use_jit=True)
+    cfg_s = koala_bear_config(params, use_jit=True)
+    cfg_s.pcs.fuse_full = False
+    pdata = circuit_prover_data(cfg_f, circuit)
+    proof_f = _prove(cfg_f, circuit, pubs, pdata)
+    proof_s = _prove(cfg_s, circuit, pubs, pdata)
+    _assert_proofs_equal(proof_f, proof_s)
+    BatchStarkProver(cfg_s).verify_all_tables(circuit, proof_f, pdata)
+
+
+@pytest.mark.slow
+def test_fused_recursion_layer_matches_staged():
+    """One full recursion layer proven by both paths, bit-identical."""
+    from plonky3_recursion_tpu.recursion.recursion import (
+        RecursionInput,
+        build_next_layer_prep,
+        prove_next_layer,
+    )
+
+    circuit, pubs = _fib_circuit(32)
+    cfg_f = koala_bear_config(FriParams.testing(), use_jit=True)
+    cfg_s = koala_bear_config(FriParams.testing(), use_jit=True)
+    cfg_s.pcs.fuse_full = False
+    pdata = circuit_prover_data(cfg_f, circuit)
+    proof = _prove(cfg_s, circuit, pubs, pdata)
+    inner = RecursionInput(proof, circuit, pdata)
+    prep = build_next_layer_prep(cfg_f, inner)
+    layer_f = prove_next_layer(cfg_f, prep, proof)
+    layer_s = prove_next_layer(cfg_s, prep, proof)
+    _assert_proofs_equal(layer_f, layer_s)
+    BatchStarkProver(cfg_f).verify_all_tables(prep.circuit, layer_f, prep.pdata)
