@@ -234,23 +234,25 @@ class CircuitBuilder:
         return bits
 
     def assert_bits_canonical(self, bits: list[int]) -> None:
-        """Constrain Σ b_i·2^i < p for a full-width (31-bit) decomposition.
+        """Constrain Σ b_i·2^i < p for a full-width decomposition.
 
-        For p = 2^31 − 2^k + 1 (every Monty31 field here) a 31-bit value
-        v is non-canonical iff bits k..30 are all ones AND the low k bits
-        encode a nonzero value: v = (2^31 − 2^k) + low ≥ p ⟺ low ≥ 1.
-        With top = Π_{i≥k} b_i and low = Σ_{i<k} b_i·2^i the forbidden
-        region is exactly top·low ≠ 0 (top all-ones with low = 0 is
-        v = p − 1, canonical).  `low` is the length-k prefix of the
-        `reconstruct_index_from_bits` chain already emitted by
-        `decompose_to_bits`, so CSE shares it; net cost is ~(31−k)+1 MUL
-        rows per decomposition.  Closes the encoding slack the reference
-        leaves open (circuit_builder.rs:1066)."""
+        For p = 2^n − 2^k + 1 (every Monty31 field here, n=31, and
+        Goldilocks, n=64/k=32) an n-bit value v is non-canonical iff bits
+        k..n−1 are all ones AND the low k bits encode a nonzero value:
+        v = (2^n − 2^k) + low ≥ p ⟺ low ≥ 1.  With top = Π_{i≥k} b_i and
+        low = Σ_{i<k} b_i·2^i the forbidden region is exactly
+        top·low ≠ 0 (top all-ones with low = 0 is v = p − 1, canonical).
+        `low` is the length-k prefix of the `reconstruct_index_from_bits`
+        chain already emitted by `decompose_to_bits`, so CSE shares it;
+        net cost is ~(n−k)+1 MUL rows per decomposition.  Closes the
+        encoding slack the reference leaves open
+        (circuit_builder.rs:1066)."""
         p = self.E.base.P
-        assert len(bits) == 31, "canonicity check needs a full-width decompose"
-        gap = (1 << 31) + 1 - p
+        n = p.bit_length()
+        assert len(bits) == n, "canonicity check needs a full-width decompose"
+        gap = (1 << n) + 1 - p
         k = gap.bit_length() - 1
-        assert gap == 1 << k, "field is not of the 2^31 - 2^k + 1 form"
+        assert gap == 1 << k, "field is not of the 2^n - 2^k + 1 form"
         top = bits[k]
         for b in bits[k + 1 :]:
             top = self.mul(top, b)

@@ -59,7 +59,12 @@ class CircuitRunner:
     def __init__(self, circuit: Circuit):
         self.c = circuit
         d = circuit.ext.D
-        self.wit = np.zeros((circuit.witness_count, d), dtype=U32)
+        # cell layout: one u32 per base coefficient for Monty31 fields;
+        # fields wider than 32 bits (Goldilocks) carry a trailing limb dim
+        # (ext.limbs == 2: [lo, hi] u32 pairs, fields/goldilocks.py)
+        self.limbs = getattr(circuit.ext, "limbs", 1)
+        cell = (d, self.limbs) if self.limbs > 1 else (d,)
+        self.wit = np.zeros((circuit.witness_count,) + cell, dtype=U32)
         self.defined = np.zeros(circuit.witness_count, dtype=bool)
         self.npo_private: dict = {}
         # pre-group alu rows by (level, kind, solve)
@@ -90,7 +95,9 @@ class CircuitRunner:
         # Binomial extensions only — trinomial (quintic) circuits fall back
         # to the vectorized numpy path.
         self._native = None
-        if hasattr(circuit.ext, "W") or circuit.ext.D == 1:
+        if self.limbs == 1 and (
+            hasattr(circuit.ext, "W") or circuit.ext.D == 1
+        ):
             try:
                 from ..native import execute_alu_rows, get_lib
 
@@ -118,6 +125,8 @@ class CircuitRunner:
 
     def _coerce(self, v) -> np.ndarray:
         d = self.c.ext.D
+        if self.limbs > 1:
+            return self._coerce_limbed(v, d)
         if isinstance(v, (int, np.integer)):
             out = np.zeros(d, dtype=U32)
             out[0] = int(v) % self.c.ext.base.P
@@ -127,6 +136,31 @@ class CircuitRunner:
             return self._coerce(int(arr))
         assert arr.shape == (d,), arr.shape
         return (arr.astype(np.uint64) % self.c.ext.base.P).astype(U32)
+
+    def _coerce_limbed(self, v, d: int) -> np.ndarray:
+        """Limbed-field cells: int / (d,) ints -> (d, limbs) u32."""
+        F = self.c.ext.base
+        if isinstance(v, (int, np.integer)):
+            out = np.zeros((d, self.limbs), dtype=U32)
+            out[0] = F.from_ints([int(v)])[0]
+            return out
+        arr = np.asarray(v)
+        if arr.shape == (d, self.limbs):
+            return arr.astype(U32)
+        if arr.shape == ():
+            return self._coerce_limbed(int(arr), d)
+        flat = np.asarray(v, dtype=object).reshape(-1)
+        assert flat.shape == (d,), flat.shape
+        return np.stack([F.from_ints([int(x)])[0] for x in flat])
+
+    def _cell_ints(self, cell: np.ndarray) -> tuple:
+        """Witness cell -> tuple of python ints (one per coefficient)."""
+        if self.limbs == 1:
+            return tuple(int(x) for x in cell)
+        return tuple(
+            int(cell[j, 0]) | (int(cell[j, 1]) << 32)
+            for j in range(cell.shape[0])
+        )
 
     def set_witness(self, wid: int, value):
         value = self._coerce(value)
@@ -304,29 +338,41 @@ class CircuitRunner:
         for (kind, meta), hs in groups.items():
             if kind == "ext_decompose":
                 in_wids = np.asarray([h.inputs[0] for h in hs], dtype=np.int64)
-                vals = self.wit[in_wids]  # (k, D)
+                vals = self.wit[in_wids]  # (k, D) or (k, D, limbs)
                 out_wids = np.asarray(
                     [w for h in hs for w in h.outputs], dtype=np.int64
                 )
-                outs = np.zeros((len(hs) * d, d), dtype=U32)
-                outs[:, 0] = vals.reshape(-1)
+                cell = self.wit.shape[1:]
+                outs = np.zeros((len(hs) * d,) + cell, dtype=U32)
+                outs[:, 0] = vals.reshape((-1,) + cell[1:])
                 self._scatter_checked(out_wids, outs)
             elif kind == "bit_decompose":
                 in_wids = np.asarray([h.inputs[0] for h in hs], dtype=np.int64)
-                vals = self.wit[in_wids][:, 0]  # (k,) base coeff
-                shifts = np.arange(meta, dtype=U32)
-                bits = (vals[:, None] >> shifts[None, :]) & U32(1)
+                vals = self.wit[in_wids][:, 0]  # (k,) or (k, limbs)
+                if self.limbs == 1:
+                    shifts = np.arange(meta, dtype=U32)
+                    bits = (vals[:, None] >> shifts[None, :]) & U32(1)
+                else:
+                    lo = vals[:, 0].astype(np.uint64)
+                    hi = vals[:, 1].astype(np.uint64)
+                    full = lo | (hi << np.uint64(32))  # (k,) u64
+                    shifts = np.arange(meta, dtype=np.uint64)
+                    bits = (
+                        (full[:, None] >> shifts[None, :]) & np.uint64(1)
+                    ).astype(U32)
                 out_wids = np.asarray(
                     [w for h in hs for w in h.outputs], dtype=np.int64
                 )
-                outs = np.zeros((len(hs) * meta, d), dtype=U32)
-                outs[:, 0] = bits.reshape(-1)
+                cell = self.wit.shape[1:]
+                outs = np.zeros((len(hs) * meta,) + cell, dtype=U32)
+                if self.limbs == 1:
+                    outs[:, 0] = bits.reshape(-1)
+                else:
+                    outs[:, 0, 0] = bits.reshape(-1)
                 self._scatter_checked(out_wids, outs)
             else:  # generic python hints
                 for h in hs:
-                    ins = [
-                        tuple(int(x) for x in self.wit[w]) for w in h.inputs
-                    ]
+                    ins = [self._cell_ints(self.wit[w]) for w in h.inputs]
                     for w, v in zip(h.outputs, h.fn(ins)):
                         self.set_witness(w, v)
 
@@ -344,7 +390,8 @@ class CircuitRunner:
             self._chain_state: dict = {}
         st_map = self._chain_state.setdefault(plugin.type_id, {})
         k = len(cs)
-        states = np.zeros((k, width), dtype=U32)
+        tail = (self.limbs,) if self.limbs > 1 else ()
+        states = np.zeros((k, width) + tail, dtype=U32)
         bits = np.zeros(k, dtype=np.int64)
         bits2 = np.zeros(k, dtype=np.int64)
         sums = np.zeros(k, dtype=np.int64)

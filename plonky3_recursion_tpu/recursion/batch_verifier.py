@@ -698,7 +698,7 @@ def _verify_fri_circuit(config, b, al, ch, mmcs, rounds, P, tag_ns: str = ""):
     for ph in range(num_phases):
         ph_log_h = log_max - offsets[ph] - schedule[ph]
         dig = al.private_vec(
-            8 << min(cap_cfg, ph_log_h), _bind(phase_digest, ph)
+            mmcs.DIGEST << min(cap_cfg, ph_log_h), _bind(phase_digest, ph)
         )
         phase_commits.append(dig)
         ch.observe_slice(dig)

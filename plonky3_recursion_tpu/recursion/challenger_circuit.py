@@ -39,12 +39,19 @@ class CircuitChallenger:
         # width-generic duplex sized from the plugin's permutation
         # (reference preset family: rate = width − 8-element capacity)
         params = getattr(plugin, "params", None)
+        self.D = getattr(plugin, "d", 4)
         if params is not None:
-            d = getattr(plugin, "d", 4)
+            d = self.D
+            # capacity defaults to the 8-element digest of the Monty31
+            # family; Goldilocks W8 carries capacity 4 (4-element digests)
+            cap = getattr(plugin, "capacity", 8)
             self.WIDTH = params.width
-            self.RATE = params.width - 8
+            self.RATE = params.width - cap
             self.LIMBS = params.width // d
             self.RATE_LIMBS = self.RATE // d
+        # full-width bit length of a sampled value (31 for Monty31
+        # fields, 64 for Goldilocks)
+        self.VALUE_BITS = builder.E.base.P.bit_length()
         # hash-agnostic dispatch (reference ChallengerPermConfig): plugins
         # without in-table chaining (e.g. the Poseidon1 table) fall back to
         # full bus round-trips per duplex
@@ -104,21 +111,21 @@ class CircuitChallenger:
         for kind, w in items:
             if kind == "e":
                 ext_at[pos] = w
-                pos += 4
+                pos += self.D
             else:
                 slots[pos] = w
                 pos += 1
         assert pos == k <= self.RATE
         inputs = [None] * self.LIMBS
         for l in range(self.RATE_LIMBS):
-            lo = 4 * l
+            lo = self.D * l
             if lo in ext_at:
                 inputs[l] = ext_at[lo]
                 continue
             if lo >= k:
                 continue  # untouched limb: chains (or zeros on first)
             cs = []
-            for j in range(4):
+            for j in range(self.D):
                 s = lo + j
                 if s < k:
                     assert slots[s] is not None, "unaligned ext item"
@@ -155,8 +162,10 @@ class CircuitChallenger:
                 coeffs.append(w)
         state = list(self._legacy_state)
         state[: len(coeffs)] = coeffs
+        d = self.D
         exts = [
-            self._recompose(state[4 * j : 4 * j + 4]) for j in range(4)
+            self._recompose(state[d * j : d * j + d])
+            for j in range(self.LIMBS)
         ]
         outs = b.call_npo(self.npo, exts)
         out_coeffs: list = []
@@ -165,7 +174,7 @@ class CircuitChallenger:
         self._legacy_state = out_coeffs
         self._duplexed = True
         self._out_coeffs = {
-            l: out_coeffs[4 * l : 4 * l + 4] for l in range(self.LIMBS)
+            l: out_coeffs[d * l : d * l + d] for l in range(self.LIMBS)
         }
         self._legacy_out_ext = outs
         self._out_len = self.RATE
@@ -189,12 +198,16 @@ class CircuitChallenger:
         """Observe D base-coeff wires; when the buffer is D-aligned and the
         caller supplies the recomposed ext wire, it passes through as one
         absorb limb with zero extra rows."""
-        if ext is not None and self._in_len % 4 == 0 and len(coeffs) == 4:
+        if (
+            ext is not None
+            and self._in_len % self.D == 0
+            and len(coeffs) == self.D
+        ):
             for c in coeffs:
                 self.record.append(("o", c))
             self._out_len = 0
             self._in.append(("e", ext))
-            self._in_len += 4
+            self._in_len += self.D
             if self._in_len == self.RATE:
                 self._duplex()
         else:
@@ -205,7 +218,7 @@ class CircuitChallenger:
         passthrough (the wire's recompose sources provide the replay
         record); unaligned: decompose."""
         src = getattr(self.b, "recompose_src", {}).get(target)
-        if self._in_len % 4 == 0 and src is not None:
+        if self._in_len % self.D == 0 and src is not None:
             self.observe_coeffs(src, ext=target)
         elif src is not None:
             self.observe_slice(src)
@@ -220,7 +233,7 @@ class CircuitChallenger:
             self._duplex()
         pos = self.RATE - self._out_len
         self._out_len -= 1
-        l, j = divmod(pos, 4)
+        l, j = divmod(pos, self.D)
         return self._limb_coeffs(l)[j]
 
     def sample(self) -> int:
@@ -228,26 +241,30 @@ class CircuitChallenger:
         return self._sample_raw()
 
     def sample_ext(self) -> int:
-        self.record.append(("s", 4))
+        d = self.D
+        self.record.append(("s", d))
         if self._in_len or self._out_len == 0:
             self._duplex()
         pos = self.RATE - self._out_len
-        if pos % 4 == 0 and self._out_len >= 4:
-            self._out_len -= 4
-            return self._limb_wire(pos // 4)
-        coeffs = [self._sample_raw() for _ in range(4)]
+        if pos % d == 0 and self._out_len >= d:
+            self._out_len -= d
+            return self._limb_wire(pos // d)
+        coeffs = [self._sample_raw() for _ in range(d)]
         return self.b.recompose_base_coeffs_to_ext(coeffs)
 
     def sample_bits(self, bits: int, is_index: bool = False) -> list[int]:
-        """Sample, decompose the full 31-bit value, return the low-bit
-        prefix targets (reference `circuit.rs:388-407`).  `is_index` marks
-        FRI query-index samples for the native transcript replay."""
+        """Sample, decompose the full field-width value, return the
+        low-bit prefix targets (reference `circuit.rs:388-407`).
+        `is_index` marks FRI query-index samples for the native
+        transcript replay."""
         self.record.append(("i", bits, is_index))
         v = self._sample_raw()
         # canonical=True: without it a malicious prover could witness
         # v + p instead of v for ~1/128 of samples, flipping query-index
         # bits / PoW checks (see CircuitBuilder.assert_bits_canonical).
-        all_bits = self.b.decompose_to_bits(v, 31, canonical=True)
+        all_bits = self.b.decompose_to_bits(
+            v, self.VALUE_BITS, canonical=True
+        )
         return all_bits[:bits]
 
     def check_pow_witness(self, witness: int, bits: int):

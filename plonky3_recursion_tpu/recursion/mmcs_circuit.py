@@ -36,9 +36,26 @@ class MmcsGadget:
     RATE_LIMBS = 2
     DIGEST_LIMBS = 2
 
+    D = 4
+
     def __init__(self, builder: CircuitBuilder, npo_type_id: str):
         self.b = builder
         self.npo = npo_type_id
+        # width-generic sizing from the permutation plugin (reference
+        # preset family; Goldilocks W8 carries capacity/digest 4, D=2)
+        plugin, _cfg = builder.enabled_ops[npo_type_id]
+        params = getattr(plugin, "params", None)
+        if params is not None and getattr(plugin, "chained", False):
+            d = getattr(plugin, "d", 4)
+            cap = getattr(plugin, "capacity", 8)
+            if type(self) is MmcsGadget:
+                self.D = d
+                self.WIDTH = params.width
+                self.RATE = params.width - cap
+                self.DIGEST = cap
+                self.LIMBS = params.width // d
+                self.RATE_LIMBS = self.RATE // d
+                self.DIGEST_LIMBS = self.DIGEST // d
         # registered (tag, n_levels) pairs so the layer prover knows which
         # private-data keys to fill (one per compression level)
         self.private_paths: list = []
@@ -68,13 +85,14 @@ class MmcsGadget:
         for start in range(0, n, self.RATE):
             chunk = values[start : start + self.RATE]
             inputs = [None] * self.LIMBS
+            d = self.D
             for l in range(self.RATE_LIMBS):
-                cs = chunk[4 * l : 4 * l + 4]
+                cs = chunk[d * l : d * l + d]
                 if not cs:
                     continue
-                if len(cs) < 4:
+                if len(cs) < d:
                     if first:
-                        cs = cs + [b.zero] * (4 - len(cs))
+                        cs = cs + [b.zero] * (d - len(cs))
                     else:
                         prev_op = b._chain_last[chain]
                         old = b.decompose_ext_to_base_coeffs(
@@ -240,10 +258,11 @@ class MmcsGadget:
         if roots is None:
             dl = self.DIGEST_LIMBS
             dg = self.DIGEST
+            d = self.D
             entries = [
                 [
                     self._recompose(
-                        commitment[e * dg + 4 * l : e * dg + 4 * l + 4]
+                        commitment[e * dg + d * l : e * dg + d * l + d]
                     )
                     for l in range(dl)
                 ]

@@ -59,9 +59,11 @@ def build_uni_verifier_circuit(
     qdeg = 1 << lq
     n = 1 << log_n
 
-    # Merkle caps: commitments are 8·2^cap targets (clamped per tree)
+    # Merkle caps: commitments are digest·2^cap targets (clamped per
+    # tree); digest length follows the MMCS permutation (8 for the
+    # Monty31 W16 family, 4 for Goldilocks W8)
     cap_cfg = getattr(config.pcs, "cap_height", 0)
-    cap_len = 8 << min(cap_cfg, log_n + P.log_blowup)
+    cap_len = mmcs.DIGEST << min(cap_cfg, log_n + P.log_blowup)
     ch.observe(b.const(log_n))
     # preprocessed verifying key: a PUBLIC input of the layer circuit
     # (reference mul_air.rs: `verifier_inputs.preprocessed_commit`)

@@ -59,6 +59,11 @@ class GlExt2:
 
     D: int = 2
     W: int = 7
+    limbs: int = 2  # u32 limbs per base element (circuit-runner cells)
+
+    @property
+    def base(self):
+        return GL
 
     def zeros(self, shape, xp=np):
         return xp.zeros(tuple(shape) + (2, 2), dtype=U32)
@@ -411,9 +416,13 @@ class GlChallenger:
         self.observe_slice(np.asarray(e, dtype=U32))
 
     def sample(self) -> np.ndarray:
+        # front-pop, like DuplexChallenger (stark/challenger.py): sampled
+        # extension elements then coincide with D-aligned output limbs of
+        # the permutation, so the recursive GL verifier reads samples as
+        # chained-table output limbs with zero arithmetic rows
         if self.input_buffer or not self.output_buffer:
             self._duplex()
-        return np.asarray(self.output_buffer.pop(), dtype=U32)
+        return np.asarray(self.output_buffer.pop(0), dtype=U32)
 
     def sample_ext(self) -> np.ndarray:
         c0 = self.sample()
@@ -541,6 +550,12 @@ class GlFriProof:
     commit_digests: list  # per phase (4, 2)
     final_coeffs: np.ndarray  # (final_len, 2, 2)
     query_proofs: list
+    # prover-side cache of the sampled query indices (derived data, like
+    # FriProof.query_indices): lets the GL recursion layer skip the full
+    # transcript replay when packing Merkle direction bits
+    query_indices: list | None = dataclasses.field(
+        default=None, compare=False
+    )
 
 
 def _gl_reduce_sum(arr, axis0_len, xp=np):
@@ -730,8 +745,10 @@ class GlFriPcs:
             for data, _p in rounds
         ]
         query_proofs = []
+        indices = []
         for _ in range(P.num_queries):
             index = challenger.sample_bits(log_max)
+            indices.append(index)
             input_openings = []
             for (data, _pts), rlm in zip(rounds, round_log_max):
                 input_openings.append(
@@ -742,7 +759,12 @@ class GlFriPcs:
                 rows, sibs = self.mmcs.open_batch(index >> (ph + 1), tree)
                 commit_steps.append((rows[0], sibs))
             query_proofs.append(GlQueryProof(input_openings, commit_steps))
-        return opened, GlFriProof(commit_digests, final_coeffs, query_proofs)
+        return opened, GlFriProof(
+            commit_digests,
+            final_coeffs,
+            query_proofs,
+            query_indices=indices,
+        )
 
     def _fold_once(self, folded, beta, log_size: int, shift: int, xp):
         half = 1 << (log_size - 1)
