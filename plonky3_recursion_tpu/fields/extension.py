@@ -23,12 +23,28 @@ from .monty31 import Monty31, U32
 
 
 def _irreducibility_check(p: int, w: int, d: int) -> bool:
-    """Lidl–Niederreiter 3.75 for x^d - w, d a power of two, p = 1 mod 4."""
-    # order of w must have maximal 2-adicity: w must be a non-square with
-    # v2(ord(w)) == v2(p-1); sufficient: w^((p-1)/2) == -1.
+    """Lidl–Niederreiter 3.75 for x^d − w: irreducible over F_p iff every
+    prime q | d divides p − 1 with w not a q-th power, and (when 4 | d)
+    p ≡ 1 mod 4.  Notably rejects d = 6 over KoalaBear (3 ∤ p − 1, so
+    EVERY element is a cube and x^6 − w always factors)."""
     if d == 1:
         return True
-    return pow(w, (p - 1) // 2, p) == p - 1
+    q = 2
+    dd = d
+    primes = set()
+    while dd > 1:
+        while dd % q == 0:
+            primes.add(q)
+            dd //= q
+        q += 1
+    for q in primes:
+        if (p - 1) % q != 0:
+            return False
+        if pow(w, (p - 1) // q, p) == 1:
+            return False  # w is a q-th power
+    if d % 4 == 0 and p % 4 != 1:
+        return False
+    return True
 
 
 @dataclasses.dataclass(frozen=True)
@@ -37,6 +53,10 @@ class BinomialExtension:
 
     base: Monty31
     D: int
+    # per-degree W override: the field's default ext_w suits power-of-two
+    # degrees; other degrees may need a different non-residue (BabyBear
+    # D=6 uses W=22 — non-square AND non-cube)
+    w_override: int | None = None
 
     def __post_init__(self):
         assert _irreducibility_check(self.base.P, self.W, self.D), (
@@ -45,7 +65,7 @@ class BinomialExtension:
 
     @property
     def W(self) -> int:
-        return self.base.ext_w
+        return self.w_override or self.base.ext_w
 
     @functools.cached_property
     def w_monty(self) -> np.uint32:
@@ -164,9 +184,14 @@ class BinomialExtension:
         return self.base.rand(rng, tuple(shape) + (self.D,))
 
 
+# degrees whose irreducible binomial needs a different W than the field
+# default (checked by _irreducibility_check at construction)
+_W_BY_DEGREE = {("baby_bear", 6): 22}
+
+
 @functools.lru_cache(maxsize=None)
 def ext_field(base: Monty31, d: int) -> BinomialExtension:
-    return BinomialExtension(base, d)
+    return BinomialExtension(base, d, _W_BY_DEGREE.get((base.name, d)))
 
 
 @dataclasses.dataclass(frozen=True)

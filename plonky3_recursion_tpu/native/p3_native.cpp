@@ -366,6 +366,16 @@ static void ext_inv(const P3ExtField* e, const uint32_t* a, uint32_t* out) {
   // conj = prod of frobenius images a^(p^k), k=1..d-1; frobenius scales
   // coeff i by (W^((p-1)/d))^(i*k)
   uint64_t p = f->p;
+  if (d == 1) {  // no conjugates: plain Fermat inverse
+    uint64_t base = a[0] % p, ex = p - 2, r = 1;
+    while (ex) {
+      if (ex & 1) r = r * base % p;
+      base = base * base % p;
+      ex >>= 1;
+    }
+    out[0] = (uint32_t)r;
+    return;
+  }
   uint64_t c0 = 1;
   {  // c0 = W^((p-1)/d) via pow
     uint64_t base = e->w % p, ex = (p - 1) / d, r = 1;

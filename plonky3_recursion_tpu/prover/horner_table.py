@@ -118,7 +118,7 @@ class HornerNpo:
         self.field = field
         self.d = d
         self.k = k
-        self.E = ext_field(field, d) if d > 1 else None
+        self.E = ext_field(field, d)  # D=1 is a valid (trivial) extension
         self.type_id = f"horner/{field.name}_d{d}_k{k}"
 
     # ----- circuit/runner plugin API -----
@@ -183,10 +183,10 @@ class HornerNpo:
 
 
 @functools.lru_cache(maxsize=None)
-def horner_npo_for(field_name: str, k: int = 8) -> HornerNpo:
+def horner_npo_for(field_name: str, k: int = 8, d: int = 4) -> HornerNpo:
     from ..fields import FIELDS
 
-    return HornerNpo(FIELDS[field_name], 4, k=k)
+    return HornerNpo(FIELDS[field_name], d, k=k)
 
 
 def koala_bear_horner_npo(k: int = 8) -> HornerNpo:

@@ -505,13 +505,17 @@ class Poseidon2Npo:
 
 
 @functools.lru_cache(maxsize=None)
-def poseidon2_npo_for(field_name: str, width: int = 16) -> Poseidon2Npo:
-    """Per-field/width D4 NPO (reference preset family, `public_types.rs`:
-    W16 challenger/MMCS, W24 wide sponge, W32 arity-4 compression)."""
+def poseidon2_npo_for(
+    field_name: str, width: int = 16, d: int = 4
+) -> Poseidon2Npo:
+    """Per-field/width NPO (reference preset family, `public_types.rs`:
+    W16 challenger/MMCS, W24 wide sponge, W32 arity-4 compression; d is
+    the circuit extension degree — D1/D4 presets in the reference, any
+    divisor of the 8-element digest here)."""
     from ..fields import BABY_BEAR, KOALA_BEAR
 
     field = {"koala_bear": KOALA_BEAR, "baby_bear": BABY_BEAR}[field_name]
-    return Poseidon2Npo(poseidon2_params(field, width), d=4)
+    return Poseidon2Npo(poseidon2_params(field, width), d=d)
 
 
 def koala_bear_poseidon2_npo() -> Poseidon2Npo:

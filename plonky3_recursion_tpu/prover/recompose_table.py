@@ -130,10 +130,12 @@ class RecomposeNpo:
 
 
 @functools.lru_cache(maxsize=None)
-def recompose_npo_for(field_name: str, lanes: int = 4) -> RecomposeNpo:
+def recompose_npo_for(
+    field_name: str, lanes: int = 4, d: int = 4
+) -> RecomposeNpo:
     from ..fields import FIELDS
 
-    return RecomposeNpo(FIELDS[field_name], 4, lanes=lanes)
+    return RecomposeNpo(FIELDS[field_name], d, lanes=lanes)
 
 
 def koala_bear_recompose_npo(lanes: int = 4) -> RecomposeNpo:

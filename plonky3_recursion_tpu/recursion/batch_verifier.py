@@ -216,10 +216,10 @@ def build_batch_verifier_circuit(
         from ..prover.poseidon2_table import poseidon2_npo_for
         from ..prover.recompose_table import recompose_npo_for
 
-        npo = poseidon2_npo_for(F.name)
+        npo = poseidon2_npo_for(F.name, d=d)
         builder.enable_op(npo)
-        builder.enable_recompose(recompose_npo_for(F.name))
-        builder.enable_horner(horner_npo_for(F.name, horner_k))
+        builder.enable_recompose(recompose_npo_for(F.name, d=d))
+        builder.enable_horner(horner_npo_for(F.name, horner_k, d=d))
         npo_type_id = npo.type_id
     b = builder
     al = _Alloc(b)

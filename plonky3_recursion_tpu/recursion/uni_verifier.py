@@ -38,7 +38,7 @@ def build_uni_verifier_circuit(
         builder = CircuitBuilder(E)
         from ..prover.poseidon2_table import poseidon2_npo_for
 
-        npo = poseidon2_npo_for(F.name)
+        npo = poseidon2_npo_for(F.name, d=d)
         builder.enable_op(npo)
         npo_type_id = npo.type_id
     b = builder
