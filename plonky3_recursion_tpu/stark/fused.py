@@ -923,12 +923,31 @@ def fused_prove_batch(config, instances, common, debug_lookups=False):
         if common.prep_commitment is not None
         else None
     )
-    with span("fused_prove.device"):
-        out_flat = np.asarray(
-            jfn(consts, prep_commit, pubs_flat, prep_args, *[
-                inst.trace for inst in instances
-            ])
-        )
+    import os as _os
+
+    if _os.environ.get("FUSED_PROFILE"):
+        # split arg-sync / execute / download (diagnosis only: the args
+        # include async uploads + the device-built NPO tables)
+        import jax as _jax
+
+        targs = [inst.trace for inst in instances]
+        with span("fused_prove.arg_sync"):
+            _jax.block_until_ready(
+                [t for t in targs if not isinstance(t, np.ndarray)]
+            )
+            _jax.block_until_ready(prep_args)
+        with span("fused_prove.execute"):
+            out_dev = jfn(consts, prep_commit, pubs_flat, prep_args, *targs)
+            out_dev.block_until_ready()
+        with span("fused_prove.download"):
+            out_flat = np.asarray(out_dev)
+    else:
+        with span("fused_prove.device"):
+            out_flat = np.asarray(
+                jfn(consts, prep_commit, pubs_flat, prep_args, *[
+                    inst.trace for inst in instances
+                ])
+            )
 
     # ---- unpack ----
     pos = 0
