@@ -92,11 +92,20 @@ def _row_sharded(mesh: Mesh, axis: str, arr):
 
 
 def mesh_round_commit_fn(
-    field: Monty31, sig: tuple, log_blowup: int, mesh: Mesh, axis: str = "rows"
+    field: Monty31,
+    sig: tuple,
+    log_blowup: int,
+    mesh: Mesh,
+    axis: str = "rows",
+    salt_dims: tuple = (),
 ):
     """Mesh analog of `ops.jitk.round_commit_fn`: interpolation + LDE +
-    Merkle for a whole commit round, rows sharded over the mesh."""
-    key = ("commit", id(mesh), field.name, sig, log_blowup, axis)
+    Merkle for a whole commit round, rows sharded over the mesh.
+
+    salt_dims: (height, width) per hiding salt matrix — salts skip
+    interpolation/LDE and hash straight into the leaves (reference
+    `MerkleTreeHidingMmcs`), row-sharded like everything else."""
+    key = ("commit", id(mesh), field.name, sig, log_blowup, axis, salt_dims)
     fn = _MESH_FN_CACHE.get(key)
     if fn is not None:
         return fn
@@ -116,7 +125,9 @@ def mesh_round_commit_fn(
         gpow = _power_table(field, int(field.generator), n)
         pre.append((shift, log_n, w, unscale, gpow))
 
-    def body(*mats):
+    def body(*all_mats):
+        mats = all_mats[: len(pre)]
+        salt_mats = all_mats[len(pre) :]
         coeffs_out = []
         ldes = []
         for (shift, log_n, w, unscale, gpow), evals in zip(pre, mats):
@@ -135,7 +146,9 @@ def mesh_round_commit_fn(
             coeffs_out.append(coeffs)
             ldes.append(lde)
         by_height: dict[int, list] = {}
-        for l in ldes:
+        for l in list(ldes) + [
+            _row_sharded(mesh, axis, s) for s in salt_mats
+        ]:
             by_height.setdefault(l.shape[0], []).append(l)
 
         def rows_digest(h):

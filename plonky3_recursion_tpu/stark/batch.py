@@ -260,15 +260,16 @@ def prove_batch(
             "terminals": [],
             "sels": {},
         }
-        if pcs.use_jit:
-            continue  # jit instances run in one fused call below
+        if pcs.use_jit or pcs.mesh is not None:
+            continue  # jit/mesh instances run in one fused call below
         perm, terms = generate_perm_columns(
             F, E, inst.lookups, tb, n, challenges, xp
         )
         perm_mats.append((i, np.asarray(perm)))
         terminals.append((i, [np.asarray(t) for t in terms]))
-    if pcs.use_jit:
+    if pcs.use_jit or pcs.mesh is not None:
         # ONE device program for EVERY instance's permutation columns
+        # (rows sharded over the mesh when one is configured)
         with_lk = [
             (i, inst) for i, inst in enumerate(instances) if inst.lookups
         ]
@@ -307,7 +308,7 @@ def prove_batch(
         lq = s.log_quotient_degree
         n = 1 << s.log_n
         m = n << lq
-        if pcs.use_jit:
+        if pcs.use_jit or pcs.mesh is not None:
             pm = next((pm for j, pm in perm_mats if j == i), None)
             terms = next((ts for j, ts in terminals if j == i), None)
             q = _quotient_jit(
@@ -725,6 +726,7 @@ def _perm_cols_all_jit(config, with_lk, names, challenges):
     from ..ops.jitk import perm_cols_fn
 
     F, E = config.field, config.ext
+    mesh = config.pcs.mesh
     shapes = []
     for _i, inst in with_lk:
         n, w = inst.trace.shape
@@ -738,9 +740,17 @@ def _perm_cols_all_jit(config, with_lk, names, challenges):
         "perm_all",
         tuple((n, w, wp, ck) for n, w, wp, ck, _l in shapes),
         tuple(names),
+        None if mesh is None else ("mesh", id(mesh), config.pcs.mesh_axis),
     )
 
     def make():
+        def _shard(x):
+            if mesh is None:
+                return x
+            from ..parallel.mesh import _row_sharded
+
+            return _row_sharded(mesh, config.pcs.mesh_axis, x)
+
         def fn(chal, *args):
             chal_map = {
                 nm: (chal[2 * k], chal[2 * k + 1])
@@ -750,6 +760,8 @@ def _perm_cols_all_jit(config, with_lk, names, challenges):
             for (n, _w, wp, _ck, lookups), trace, prep in zip(
                 shapes, args[::2], args[1::2]
             ):
+                trace = _shard(trace)
+                prep = _shard(prep)
                 tb = {
                     "main": {
                         0: ("base", trace),
@@ -767,11 +779,10 @@ def _perm_cols_all_jit(config, with_lk, names, challenges):
                     "terminals": [],
                     "sels": {},
                 }
-                outs.append(
-                    generate_perm_columns(
-                        F, E, lookups, tb, n, chal_map, jnp
-                    )
+                perm, terms = generate_perm_columns(
+                    F, E, lookups, tb, n, chal_map, jnp
                 )
+                outs.append((_shard(perm), terms))
             return tuple(outs)
 
         return fn
@@ -789,6 +800,9 @@ def _perm_cols_all_jit(config, with_lk, names, challenges):
             else np.zeros((n, 0), dtype=U32)
         )
         args.extend([inst.trace, prep])
+    if mesh is not None:
+        with mesh:
+            return fn(chal, *args)
     return fn(chal, *args)
 
 
@@ -799,6 +813,7 @@ def _quotient_jit(config, inst, builder, shape, names, challenges, alpha, pm, te
     from ..ops.jitk import quotient_fn
 
     F, E = config.field, config.ext
+    mesh = config.pcs.mesh
     s = shape
     lq = s.log_quotient_degree
     n = 1 << s.log_n
@@ -817,6 +832,7 @@ def _quotient_jit(config, inst, builder, shape, names, challenges, alpha, pm, te
         n_terms,
         n_pub,
         tuple(names),
+        None if mesh is None else ("mesh", id(mesh), config.pcs.mesh_axis),
     )
     gpow = _power_table(F, F.generator, n)
     sels = lde_selectors(F, s.log_n, lq, F.generator)
@@ -830,13 +846,20 @@ def _quotient_jit(config, inst, builder, shape, names, challenges, alpha, pm, te
     }
 
     def make():
+        def _shard(x):
+            if mesh is None:
+                return x
+            from ..parallel.mesh import _row_sharded
+
+            return _row_sharded(mesh, config.pcs.mesh_axis, x)
+
         def to_coset(mat, cd):
-            coeffs = intt(F, mat, jnp, tables=cd["intt_t"])
+            coeffs = intt(F, _shard(mat), jnp, tables=cd["intt_t"])
             scaled = F.monty_mul(coeffs, cd["gpow"][:, None], jnp)
-            return ntt(
+            return _shard(ntt(
                 F, jnp.pad(scaled, [(0, m - n), (0, 0)]), jnp,
                 tables=cd["ntt_t"],
-            )
+            ))
 
         def fn(trace, prep, perm_flat, pubs, chal, term_arr, alpha_arr, cd):
             lde_main = to_coset(trace, cd)
@@ -910,6 +933,18 @@ def _quotient_jit(config, inst, builder, shape, names, challenges, alpha, pm, te
     # stays device-resident: the quotient chunks are committed (and only
     # committed) on device, so downloading here would round-trip ~MBs per
     # instance through the interconnect for nothing
+    if mesh is not None:
+        with mesh:
+            return fn(
+                inst.trace,
+                prep,
+                perm_flat,
+                pubs,
+                chal,
+                term_arr,
+                np.asarray(alpha, dtype=U32),
+                consts_d,
+            )
     return fn(
         inst.trace,
         prep,

@@ -197,9 +197,6 @@ class TwoAdicFriPcs:
         # runs commits + transcript + quotient + FRI + queries as ONE
         # device program.  fuse_full=False forces the staged path.
         self.fuse_full = fuse_full
-        assert mesh is None or not hiding_salt_cols, (
-            "mesh-sharded hiding commitments not wired yet"
-        )
 
     # ----- commit -----
 
@@ -215,18 +212,33 @@ class TwoAdicFriPcs:
                 (int(shift), evals.shape[0].bit_length() - 1, evals.shape[1])
                 for shift, evals in mats
             )
+            # hiding: salt matrices (one per distinct LDE height, like the
+            # host path) join the Merkle leaves, rows sharded with the rest
+            lde_heights = [
+                (1 << ln) << self.params.log_blowup for _s, ln, _w in sig
+            ]
+            salts = self._salt_matrices(lde_heights, np)
+            salt_dims = tuple((s.shape[0], s.shape[1]) for s in salts)
             fn = mesh_round_commit_fn(
-                F, sig, self.params.log_blowup, self.mesh, self.mesh_axis
+                F,
+                sig,
+                self.params.log_blowup,
+                self.mesh,
+                self.mesh_axis,
+                salt_dims=salt_dims,
             )
             with self.mesh:
-                coeffs_t, ldes_t, layers_t = fn(*[e for _s, e in mats])
+                coeffs_t, ldes_t, layers_t = fn(
+                    *[e for _s, e in mats], *salts
+                )
             for (shift, log_n, w), coeffs in zip(sig, coeffs_t):
                 committed.append(
                     CommittedMatrix(shift, log_n, w, np.asarray(coeffs))
                 )
             layers = [np.asarray(l) for l in layers_t]
             tree = MerkleTree(
-                matrices=[np.asarray(l) for l in ldes_t], layers=layers
+                matrices=[np.asarray(l) for l in ldes_t] + list(salts),
+                layers=layers,
             )
             return PcsProverData(
                 committed, tree, self.mmcs.cap_commitment(tree)

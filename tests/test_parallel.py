@@ -103,3 +103,51 @@ def test_mesh_batch_stark_prove(rng):
         np.asarray(proof.batch.fri.final_coeffs),
         np.asarray(host_proof.batch.fri.final_coeffs),
     )
+
+
+@needs_mesh
+def test_mesh_hiding_batch_stark_prove(rng):
+    """ZK (hiding) proving through the mesh-sharded PCS: salted Merkle
+    commitments + the random masking round, rows sharded over the mesh
+    (the round-3 `mesh + hiding` hole)."""
+    from plonky3_recursion_tpu.circuit import CircuitBuilder
+    from plonky3_recursion_tpu.fields import ext_field
+    from plonky3_recursion_tpu.prover import (
+        BatchStarkProver,
+        circuit_prover_data,
+    )
+    from plonky3_recursion_tpu.stark.fri_pcs import FriParams, TwoAdicFriPcs
+    from plonky3_recursion_tpu.stark.uni import StarkConfig
+
+    E4 = ext_field(F, 4)
+    mesh = make_mesh(8)
+    config = StarkConfig(
+        F,
+        E4,
+        TwoAdicFriPcs(
+            F,
+            E4,
+            FriParams.testing(),
+            mesh=mesh,
+            hiding_salt_cols=2 * E4.D,
+            salt_rng=np.random.default_rng(7),
+        ),
+    )
+    b = CircuitBuilder(E4)
+    a = b.public_input()
+    bb = b.public_input()
+    res = b.public_input()
+    for _ in range(24):
+        a, bb = bb, b.add(a, bb)
+    b.connect(bb, res)
+    circuit = b.build()
+    pdata = circuit_prover_data(config, circuit)
+    x, y = 0, 1
+    for _ in range(24):
+        x, y = y, (x + y) % F.P
+    r = circuit.runner()
+    r.set_public_inputs([0, 1, y])
+    prover = BatchStarkProver(config)
+    proof = prover.prove_all_tables(circuit, r.run(), pdata)
+    assert proof.batch.random_commit is not None
+    assert prover.verify_all_tables(circuit, proof, pdata)
