@@ -600,6 +600,10 @@ def fused_prove_batch(config, instances, common, debug_lookups=False):
 
                 def to_coset(mat):
                     coeffs = intt(F, mat, jnp, tables=cd["intt_t"])
+                    return coset_of(coeffs)
+
+                def coset_of(coeffs):
+                    # coefficients -> evals on the quotient coset g·K_m
                     scaled = F.monty_mul(coeffs, cd["gpow"][:, None], jnp)
                     return ntt(
                         F,
@@ -608,7 +612,9 @@ def fused_prove_batch(config, instances, common, debug_lookups=False):
                         tables=cd["ntt_t"],
                     )
 
-                lde_main = to_coset(traces[i])
+                # the trace commit already interpolated this matrix
+                # (shift 1): reuse its coefficients, skipping the INTT
+                lde_main = coset_of(tr_coeffs[i])
                 pcols = inst.air.periodic_columns()
                 pub_off = sum(sh.num_publics for sh in shapes[:i])
                 bindings = {
@@ -645,14 +651,33 @@ def fused_prove_batch(config, instances, common, debug_lookups=False):
                     },
                 }
                 if s.width_prep:
-                    lde_prep = to_coset(prep_args["inst_prep"][i])
+                    # offline prep commit already holds the coefficients
+                    pk = next(
+                        (
+                            k
+                            for k, (pi, _l, _w) in enumerate(
+                                common.prep_shapes
+                            )
+                            if pi == i
+                        ),
+                        None,
+                    )
+                    lde_prep = (
+                        coset_of(prep_args["prep_coeffs"][pk])
+                        if pk is not None and has_prep_round
+                        else to_coset(prep_args["inst_prep"][i])
+                    )
                     bindings["preprocessed"] = {
                         0: ("base", lde_prep),
                         1: ("base", jnp.roll(lde_prep, -(1 << lq), axis=0)),
                     }
                 pm = next((p for j, p in perm_mats if j == i), None)
                 if pm is not None:
-                    lde_perm = to_coset(flatten_ext_matrix(pm)).reshape(
+                    # perm commit already interpolated: reuse coefficients
+                    wk = next(
+                        k for k, (j, _inst) in enumerate(with_lk) if j == i
+                    )
+                    lde_perm = coset_of(pm_coeffs[wk]).reshape(
                         m, s.num_perm_cols, d
                     )
                     bindings["perm"] = {
