@@ -173,13 +173,36 @@ class CircuitRunner:
         self.wit[wid] = value
         self.defined[wid] = True
 
+    def _coerce_many(self, values) -> np.ndarray:
+        """Batch _coerce: one vectorized pass when every value is a plain
+        scalar (the dominant case when packing recursion-layer inputs —
+        tens of thousands of base-embedded ints)."""
+        d = self.c.ext.D
+        if self.limbs == 1 and values:
+            try:
+                ints = [int(v) for v in values]
+            except (TypeError, ValueError):
+                ints = None
+            if ints is not None:
+                out = np.zeros((len(values), d), dtype=U32)
+                out[:, 0] = (
+                    np.asarray(ints, dtype=np.uint64) % self.c.ext.base.P
+                ).astype(U32)
+                return out
+        cell = self.wit.shape[1:]
+        if not values:
+            return np.zeros((0,) + cell, dtype=U32)
+        return np.stack([self._coerce(v) for v in values])
+
     def set_public_inputs(self, values):
         if len(values) != len(self.c.public_rows):
             raise MissingInput(
                 f"expected {len(self.c.public_rows)} publics, got {len(values)}"
             )
-        for wid, v in zip(self.c.public_rows, values):
-            self.set_witness(wid, v)
+        self._scatter_checked(
+            np.asarray(self.c.public_rows, dtype=np.int64),
+            self._coerce_many(values),
+        )
 
     def set_private_inputs(self, values):
         """External (prover-supplied) private inputs, in creation order."""
@@ -188,8 +211,10 @@ class CircuitRunner:
             raise MissingInput(
                 f"expected {len(ext_rows)} private inputs, got {len(values)}"
             )
-        for wid, v in zip(ext_rows, values):
-            self.set_witness(wid, v)
+        self._scatter_checked(
+            np.asarray(ext_rows, dtype=np.int64),
+            self._coerce_many(values),
+        )
 
     def set_private_data(self, key, data):
         """NPO private data (e.g. Merkle siblings), keyed by npo tag."""

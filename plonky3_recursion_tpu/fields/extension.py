@@ -122,6 +122,19 @@ class BinomialExtension:
             return F.monty_mul(a, b_m, xp)
         # (..., D_i, D_j) all pairwise products in one op
         prod = F.monty_mul(a[..., :, None], b_m[..., None, :], xp)
+        if xp is np:
+            # host fast path: slice-accumulate into a preallocated buffer
+            # (np.pad's per-call overhead dominated small host ext muls —
+            # the Horner NPO executes thousands per witness generation)
+            acc = np.zeros(prod.shape[:-2] + (2 * D - 1,), dtype=prod.dtype)
+            for i in range(D):
+                seg = acc[..., i : i + D]
+                acc[..., i : i + D] = F.add(seg, prod[..., i, :], np)
+            lo = acc[..., :D]
+            hi_fold = F.monty_mul(acc[..., D:], self.w_monty, np)
+            out = lo.copy()
+            out[..., : D - 1] = F.add(lo[..., : D - 1], hi_fold, np)
+            return out
         # shear: row i shifted right by i over width 2D-1, then mod-p sum
         pad_spec = [(0, 0)] * (prod.ndim - 2)
         sheared = [
