@@ -26,6 +26,7 @@ from .ntt import (
     bit_reverse_rows,
     intt,
     ntt,
+    ntt_bitrev,
     ntt_tables,
 )
 from .poseidon2 import poseidon2_params
@@ -64,6 +65,35 @@ def _dev_ntt(field: Monty31, log_n: int, inverse: bool):
 
 def _dev_bitrev(n: int):
     return _dev(_bitrev_perm(n))
+
+
+def _use_pallas_ntt(log_n: int) -> bool:
+    """Big device NTTs run the VMEM-resident Pallas kernel on real TPU
+    backends (bit-identical; ~10x the staged XLA path, which pays
+    log2(N) HBM passes over a lane-padded buffer).  CPU backends (tests,
+    mesh dryruns) keep the portable path.  Disable with
+    P3_NO_PALLAS_NTT=1."""
+    import os
+
+    if log_n < 14 or os.environ.get("P3_NO_PALLAS_NTT"):
+        return False
+    from .poseidon2 import _use_pallas
+
+    return _use_pallas()
+
+
+def _dev_ntt_auto(field: Monty31, log_n: int, inverse: bool):
+    """`_dev_ntt`, but selects the Pallas-kernel table format (a dict —
+    `ntt`/`ntt_bitrev` dispatch on it) for large transforms on TPU."""
+    if not _use_pallas_ntt(log_n):
+        return _dev_ntt(field, log_n, inverse)
+    from .pallas_ntt import pallas_ntt_tables
+
+    tabs = pallas_ntt_tables(field, log_n, inverse)
+    return {
+        k: (tuple(_dev(a) for a in v) if isinstance(v, tuple) else _dev(v))
+        for k, v in tabs.items()
+    }
 
 
 @functools.lru_cache(maxsize=None)
@@ -131,17 +161,21 @@ def lde_commit_fn(
         if unscale_d is not None:
             coeffs = field.monty_mul(coeffs, unscale_d[:, None], jnp)
         scaled = field.monty_mul(coeffs, gpow_d[:, None], jnp)
-        lde = ntt(
-            field, jnp.pad(scaled, [(0, m - n), (0, 0)]), jnp, tables=ntt_t
+        lde = ntt_bitrev(
+            field,
+            jnp.pad(scaled, [(0, m - n), (0, 0)]),
+            jnp,
+            tables=ntt_t,
+            br=br,
         )
-        return coeffs, bit_reverse_rows(lde, jnp, br)
+        return coeffs, lde
 
     jfn = jax.jit(fn)
     consts = (
         None if unscale is None else _dev(unscale),
         _dev(gpow),
-        _dev_ntt(field, log_n, True),
-        _dev_ntt(field, log_n + log_blowup, False),
+        _dev_ntt_auto(field, log_n, True),
+        _dev_ntt_auto(field, log_n + log_blowup, False),
         _dev_bitrev(m),
     )
     return lambda evals: jfn(evals, consts)
@@ -171,8 +205,8 @@ def round_commit_fn(field: Monty31, sig: tuple, log_blowup: int):
                 (
                     None if unscale is None else _dev(unscale),
                     _dev(gpow),
-                    _dev_ntt(field, log_n, True),
-                    _dev_ntt(field, log_n + log_blowup, False),
+                    _dev_ntt_auto(field, log_n, True),
+                    _dev_ntt_auto(field, log_n + log_blowup, False),
                     _dev_bitrev(n << log_blowup),
                 ),
             )
@@ -190,13 +224,13 @@ def round_commit_fn(field: Monty31, sig: tuple, log_blowup: int):
             if unscale_d is not None:
                 coeffs = field.monty_mul(coeffs, unscale_d[:, None], jnp)
             scaled = field.monty_mul(coeffs, gpow_d[:, None], jnp)
-            lde = ntt(
+            lde = ntt_bitrev(
                 field,
                 jnp.pad(scaled, [(0, m - n), (0, 0)]),
                 jnp,
                 tables=ntt_t,
+                br=br,
             )
-            lde = bit_reverse_rows(lde, jnp, br)
             coeffs_out.append(coeffs)
             ldes.append(lde)
         # merkle over the LDEs (mixed heights)

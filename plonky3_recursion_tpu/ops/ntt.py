@@ -143,12 +143,20 @@ def ntt_scanned_inv_scale(field: Monty31, x, xp):
 
 
 def ntt(field: Monty31, x, xp, inverse: bool = False, tables=None):
-    """In-order radix-2 DIT NTT down axis 0 of (N, ...) canonical u32."""
+    """In-order radix-2 DIT NTT down axis 0 of (N, ...) canonical u32.
+
+    `tables` may be a dict (from `ops.pallas_ntt.pallas_ntt_tables`,
+    pre-built for this (log_n, inverse)): the transform then runs as the
+    VMEM-resident Pallas kernel (TPU only; bit-identical)."""
     n = x.shape[0]
     log_n = n.bit_length() - 1
     assert 1 << log_n == n, "NTT length must be a power of two"
     if n == 1:
         return x
+    if isinstance(tables, dict):
+        from .pallas_ntt import ntt_pallas
+
+        return ntt_pallas(field, x, inverse=inverse, tables=tables)
     if tables is not None and len(tables) == 5:
         x = ntt_scanned(field, x, xp, tables)
         if inverse:
@@ -183,6 +191,19 @@ def ntt(field: Monty31, x, xp, inverse: bool = False, tables=None):
 
 def intt(field: Monty31, x, xp, tables=None):
     return ntt(field, x, xp, inverse=True, tables=tables)
+
+
+def ntt_bitrev(field: Monty31, x, xp, tables=None, br=None):
+    """Forward NTT with BIT-REVERSED row output (commitment layout).
+
+    With Pallas (dict) tables the bitrev is composed into the kernel's
+    output gather for free; otherwise it is the usual extra gather pass
+    (`br`: optional pre-uploaded bitrev permutation)."""
+    if isinstance(tables, dict):
+        from .pallas_ntt import ntt_pallas
+
+        return ntt_pallas(field, x, tables=tables, out_order="bitrev")
+    return bit_reverse_rows(ntt(field, x, xp, tables=tables), xp, br)
 
 
 @functools.lru_cache(maxsize=None)

@@ -2,25 +2,34 @@
 
 TPU-native equivalent of the reference's Poseidon2 perm NPO + circuit AIR
 (`circuit/src/ops/poseidon2_perm/`, `poseidon2-circuit-air/src/air.rs:26-70`,
-`poseidon-circuit-cols/src/cols.rs:64-115`; SURVEY.md §2.1/§2.3), redesigned
-tall-and-narrow for the VPU: one trace row per ROUND (width state + width
-S-box-register main columns per register) instead of the reference's wide
-one-row-per-permutation layout.  Heights are cheap on TPU and the committed
-S-box columns keep every constraint at degree ≤ 3 (x³ directly; x⁷ via the
-two-register split sb1 = t³, sb = sb1²·t — the reference's SBOX_REGISTERS
-decomposition).
+`poseidon-circuit-cols/src/cols.rs:64-115`; SURVEY.md §2.1/§2.3).
+
+WIDE layout: ONE trace row per PERMUTATION — input state, the committed
+post-state of every full round, and the committed S-box column(s) of every
+partial round (the reference's `Poseidon2Cols` structure).  Round
+constants are plain constants inside the constraints (no preprocessed RC
+columns).  All constraints stay degree <= 3: a full round's post-state is
+M_E applied to cubes of degree-1 expressions; x^7 fields commit one extra
+S-box register per lane (sb = reg^2 * t with reg = t^3); partial-round
+state rides through as degree-1 expressions referencing the committed
+partial S-box columns, so only one (x^3) or two (x^7) columns per partial
+round are committed.
+
+This replaced a row-per-ROUND layout in round 4: heights fell ~30x (the
+flagship recursion layer's Poseidon table goes 2^18 x 34 -> 2^13 x ~170),
+cutting the dominant NTT/LDE and Merkle-leaf work of every commit, at the
+price of a wider (still degree-3) constraint set.
 
 WIDTH-GENERIC: the same AIR serves the reference's preset family
 (`public_types.rs`) — W16 (challenger/MMCS digests), W24 (wide sponges),
-W32 (arity-4 compression) — for BabyBear and KoalaBear; the preprocessed
-layout offsets are computed from the width.
+W32 (arity-4 compression) — for BabyBear and KoalaBear.
 
-Chaining (the reference's core circuit-size trick, rebuilt for the
-row-per-round layout): consecutive perm calls on one CHAIN occupy adjacent
-row blocks, and transition constraints between the last row of block i
-(holding the permutation output state) and row 0 of block i+1 (the next
-input state) carry sponge state / Merkle running digests **inside the
-table**, so intermediate digests never touch the witness bus:
+Chaining (the reference's core circuit-size trick): consecutive perm
+calls on one CHAIN occupy ADJACENT ROWS, and transition constraints
+between row i (whose ending-round post block is the permutation output)
+and row i+1 (whose input block is the next input state) carry sponge
+state / Merkle running digests **inside the table**, so intermediate
+digests never touch the witness bus:
 
   * sponge chain   — gated per limb: next_in[l] == cur_out[l]
   * merkle chain   — direction bit B (value column) places the running
@@ -31,12 +40,9 @@ table**, so intermediate digests never touch the witness bus:
     per path binds the final S to the circuit's expected index, replacing
     per-level bit wires (reference `mmcs_index_sum`, `cols.rs:100-115`)
 
-Block layout per permutation (2 + RF + RP rows):
-  row 0                raw input state    (bus receives CTL'd limbs; prep
-                       flags select chaining/zero for the rest)
-  row 1                after the initial M_E  (sel_me transition)
-  rows 2..             one row per round      (sel_ext / sel_int)
-  last row             permutation output     (bus sends CTL'd limbs + S)
+Padding rows repeat the permutation of the all-zero state (every
+selector-free round constraint is honestly satisfied; all prep gates and
+CTL multiplicities are zero there).
 """
 
 from __future__ import annotations
@@ -62,71 +68,111 @@ RATE_EXT = 2
 
 
 def _sbox_registers(deg: int) -> int:
+    """Committed S-box register columns per lane per round (beyond the
+    full-round post block): x^3 needs none at degree 3; x^7 needs one."""
     if deg == 3:
-        return 1
+        return 0
     if deg == 7:
-        return 2
+        return 1
     raise ValueError(f"unsupported S-box degree {deg}")
 
 
 class _Layout:
-    """Per-width main/preprocessed column layout.
+    """Wide per-permutation main/preprocessed column layout.
 
-    Preprocessed per row: [rc × width | sel_me | sel_ext | sel_int |
-    io_idx × width_ext | io_mult × width_ext | sum_idx | sum_mult |
-    sponge × width_ext | merkle × rate_ext | macc | zerol × width_ext |
-    mrow].  The limb CTL column pairs are DUAL-USE: row 0 receives the
-    CTL'd input limbs, the last row sends the outputs — one lookup serves
-    both directions (fewer LogUp aux columns)."""
+    Main row: [ input (W) | per begin-full-round: (reg (W) if x^7) post (W)
+    | per partial round: (reg if x^7) ps | per end-full-round: ... |
+    mmcs_bit | (mmcs_bit2 | mmcs_bb when W=32) | mmcs_index_sum ].
 
-    def __init__(self, width: int, d: int, n_sbox: int):
+    Preprocessed per row: [in_idx x we | in_mult x we | out_idx x we |
+    out_mult x we | sum_idx | sum_mult | sponge x we | merkle x dl |
+    macc | zerol x we | mrow | (merkle4 | macc4 when W=32)].
+    """
+
+    def __init__(self, params: Poseidon2Params, d: int):
+        width = params.width
         self.width = width
         self.width_ext = width // d
         # capacity is always 8 base elements (the digest size); Merkle
         # 2-to-1 chaining always works on 8-element digest halves
         self.rate_ext = (width - 8) // d
         self.digest_limbs = 8 // d
-        self.n_sbox = n_sbox
-        self.col_b = (1 + n_sbox) * width
-        self.col_s = self.col_b + 1
+        self.n_reg = _sbox_registers(params.field.sbox_degree)
+        rf2 = params.full_rounds // 2
+        rp = params.partial_rounds
+        o = width
+        self.full_reg: list = []  # per full round: reg block offset or None
+        self.full_post: list = []
+        self.part_reg: list = []
+        self.part_ps: list = []
+        for _f in range(rf2):
+            if self.n_reg:
+                self.full_reg.append(o)
+                o += width
+            else:
+                self.full_reg.append(None)
+            self.full_post.append(o)
+            o += width
+        for _r in range(rp):
+            if self.n_reg:
+                self.part_reg.append(o)
+                o += 1
+            else:
+                self.part_reg.append(None)
+            self.part_ps.append(o)
+            o += 1
+        for _f in range(rf2):
+            if self.n_reg:
+                self.full_reg.append(o)
+                o += width
+            else:
+                self.full_reg.append(None)
+            self.full_post.append(o)
+            o += width
+        self.out_off = self.full_post[-1]
+        self.col_b = o
         # W32 additionally supports ARITY-4 Merkle chaining (reference
         # arity-4 paths over TruncatedPermutation<_,4,8,32>): a second
         # position bit B2 and the committed product BB = B·B2 make the
         # 4-way placement selectors degree-1
         self.arity4 = width == 32
         if self.arity4:
-            self.col_b2 = self.col_s + 1
-            self.col_bb = self.col_s + 2
-            self.main_width = self.col_bb + 1
+            self.col_b2 = o + 1
+            self.col_bb = o + 2
+            self.col_s = o + 3
+            self.main_width = o + 4
         else:
-            self.main_width = self.col_s + 1
-        o = width
-        self.p_sel_me = o
-        self.p_sel_ext = o + 1
-        self.p_sel_int = o + 2
-        o += 3
-        self.p_io_idx = o
-        o += self.width_ext
-        self.p_io_mult = o
-        o += self.width_ext
-        self.p_sum_idx = o
-        self.p_sum_mult = o + 1
-        o += 2
-        self.p_sponge = o
-        o += self.width_ext
-        self.p_merkle = o
-        o += self.digest_limbs
-        self.p_macc = o
-        o += 1
-        self.p_zerol = o
-        o += self.width_ext
-        self.p_mrow = o
-        o += 1
+            self.col_s = o + 1
+            self.main_width = o + 2
+        # --- preprocessed ---
+        we = self.width_ext
+        p = 0
+        self.p_in_idx = p
+        p += we
+        self.p_in_mult = p
+        p += we
+        self.p_out_idx = p
+        p += we
+        self.p_out_mult = p
+        p += we
+        self.p_sum_idx = p
+        self.p_sum_mult = p + 1
+        p += 2
+        self.p_sponge = p
+        p += we
+        self.p_merkle = p
+        p += self.digest_limbs
+        self.p_macc = p
+        p += 1
+        self.p_zerol = p
+        p += we
+        self.p_mrow = p
+        p += 1
         if self.arity4:
-            self.p_merkle4 = o
-            self.p_macc4 = o + 1
-            o += 2
-        self.prep_width = o
+            self.p_merkle4 = p
+            self.p_macc4 = p + 1
+            p += 2
+        self.prep_width = p
 
 
 def _m4_exprs(c):
@@ -158,8 +204,7 @@ class Poseidon2TableAir(Air):
     def __init__(self, params: Poseidon2Params, d: int):
         self.params = params
         self.d = d
-        self.n_sbox = _sbox_registers(params.field.sbox_degree)
-        self.L = _Layout(params.width, d, self.n_sbox)
+        self.L = _Layout(params, d)
         self.col_b = self.L.col_b
         self.col_s = self.L.col_s
         self.width_main = self.L.main_width
@@ -171,59 +216,75 @@ class Poseidon2TableAir(Air):
             self.params.field.name,
             self.params.width,
             self.d,
-            "v3",
+            "v4wide",
         )
 
     def eval(self, b):
         d = self.d
         L = self.L
+        P = self.params
         width = L.width
-        cur = b.main_local[:width]
-        sb = b.main_local[self.n_sbox * width : (1 + self.n_sbox) * width]
-        nxt = b.main_next[:width]
+        deg = P.field.sbox_degree
+        rf2 = P.full_rounds // 2
+        rp = P.partial_rounds
+        cur_in = [b.main_local[j] for j in range(width)]
+        nxt_in = [b.main_next[j] for j in range(width)]
         bit = b.main_local[self.col_b]
         nxt_bit = b.main_next[self.col_b]
         s_acc = b.main_local[self.col_s]
         nxt_s = b.main_next[self.col_s]
-        rc = [Var("preprocessed", j, 0) for j in range(width)]
-        sel_me = Var("preprocessed", L.p_sel_me, 0)
-        sel_ext = Var("preprocessed", L.p_sel_ext, 0)
-        sel_int = Var("preprocessed", L.p_sel_int, 0)
-        # --- permutation round structure ---
-        if self.n_sbox == 1:
+
+        # --- permutation round structure (one row holds it all) ---
+        def full_round(state, ridx, rf_idx):
+            rc = P.rc_ext[rf_idx]
+            sb = []
             for j in range(width):
-                t = cur[j] + rc[j]
-                b.assert_zero(sb[j] - t * t * t)
-        else:
-            # x⁷ register split: sb1 = t³ then sb = sb1²·t (degree ≤ 3)
-            sb1 = b.main_local[width : 2 * width]
+                t = state[j] + int(rc[j])
+                if deg == 3:
+                    sb.append(t * t * t)
+                else:
+                    reg = b.main_local[L.full_reg[ridx] + j]
+                    b.assert_zero(reg - t * t * t)
+                    sb.append(reg * reg * t)
+            me = _ext_layer_exprs(sb, width)
+            post = [b.main_local[L.full_post[ridx] + j] for j in range(width)]
             for j in range(width):
-                t = cur[j] + rc[j]
-                b.assert_zero(sb1[j] - t * t * t)
-                b.assert_zero(sb[j] - sb1[j] * sb1[j] * t)
-        me_cur = _ext_layer_exprs(cur, width)
-        me_sb = _ext_layer_exprs(sb, width)
-        lanes = [sb[0]] + list(cur[1:])
-        total = lanes[0]
-        for x in lanes[1:]:
-            total = total + x
-        diag = self.params.diag
-        out_int = [lanes[j] * int(diag[j]) + total for j in range(width)]
-        for j in range(width):
-            b.assert_zero(sel_me * (nxt[j] - me_cur[j]))
-            b.assert_zero(sel_ext * (nxt[j] - me_sb[j]))
-            b.assert_zero(sel_int * (nxt[j] - out_int[j]))
+                b.assert_zero(post[j] - me[j])
+            return post
+
+        def partial_round(state, ridx):
+            t = state[0] + int(P.rc_int[ridx])
+            ps = b.main_local[L.part_ps[ridx]]
+            if deg == 3:
+                b.assert_zero(ps - t * t * t)
+            else:
+                reg = b.main_local[L.part_reg[ridx]]
+                b.assert_zero(reg - t * t * t)
+                b.assert_zero(ps - reg * reg * t)
+            lanes = [ps] + list(state[1:])
+            total = lanes[0]
+            for x in lanes[1:]:
+                total = total + x
+            diag = P.diag
+            return [lanes[j] * int(diag[j]) + total for j in range(width)]
+
+        state = _ext_layer_exprs(cur_in, width)  # initial M_E
+        for f in range(rf2):
+            state = full_round(state, f, f)
+        for r in range(rp):
+            state = partial_round(state, r)
+        for f in range(rf2):
+            state = full_round(state, rf2 + f, rf2 + f)
+        out = state  # committed post block of the last full round
+
         # --- chaining constraints (cols.rs:64-115, air.rs:1030-1125) ---
         # Direction bit is prover-chosen at runtime: boolean-constrain it.
         b.assert_zero(bit * bit - bit)
         # S vanishes off merkle rows (padding included: zero prep).
         b.assert_zero((1 - Var("preprocessed", L.p_mrow, 0)) * s_acc)
-        # S rides unchanged through the block's intra-block transitions.
-        intra = sel_me + sel_ext + sel_int
-        b.assert_zero(intra * (nxt_s - s_acc))
-        # Across a block boundary into a merkle row: S' = 2·S + B'.
-        # The chain's first merkle row follows a (forced-S=0) sponge row,
-        # so the same constraint initializes S' = B'.
+        # Into a merkle row: S' = 2·S + B'.  The chain's first merkle row
+        # follows a (forced-S=0) sponge row, so the same constraint
+        # initializes S' = B'.
         b.assert_zero(
             Var("preprocessed", L.p_macc, 1) * (nxt_s - 2 * s_acc - nxt_bit)
         )
@@ -232,10 +293,10 @@ class Poseidon2TableAir(Air):
             sc = Var("preprocessed", L.p_sponge + l, 1)
             for j in range(d):
                 c = l * d + j
-                b.assert_zero(sc * (nxt[c] - cur[c]))
+                b.assert_zero(sc * (nxt_in[c] - out[c]))
             zg = Var("preprocessed", L.p_zerol + l, 0)
             for j in range(d):
-                b.assert_zero(zg * cur[l * d + j])
+                b.assert_zero(zg * cur_in[l * d + j])
         if L.arity4:
             b2 = b.main_local[L.col_b2]
             nxt_b2 = b.main_next[L.col_b2]
@@ -246,10 +307,10 @@ class Poseidon2TableAir(Air):
             m4g = Var("preprocessed", L.p_merkle4, 1)
             # position indicators from (B, B2, BB) — each degree 1
             inds = [
-                 1 - nxt_bit - nxt_b2 + nxt_bb,
-                 nxt_bit - nxt_bb,
-                 nxt_b2 - nxt_bb,
-                 nxt_bb,
+                1 - nxt_bit - nxt_b2 + nxt_bb,
+                nxt_bit - nxt_bb,
+                nxt_b2 - nxt_bb,
+                nxt_bb,
             ]
             for q in range(4):
                 for i in range(L.digest_limbs):
@@ -258,16 +319,16 @@ class Poseidon2TableAir(Air):
                             m4g
                             * inds[q]
                             * (
-                                nxt[(q * L.digest_limbs + i) * d + j]
-                                - cur[i * d + j]
+                                nxt_in[(q * L.digest_limbs + i) * d + j]
+                                - out[i * d + j]
                             )
                         )
-            # S' = 4·S + B' + 2·B2' across arity-4 block boundaries
+            # S' = 4·S + B' + 2·B2' across arity-4 merkle transitions
             b.assert_zero(
                 Var("preprocessed", L.p_macc4, 1)
                 * (nxt_s - 4 * s_acc - nxt_bit - 2 * nxt_b2)
             )
-        # Merkle chaining: running digest (rate limbs of cur output) goes
+        # Merkle chaining: running digest (the output's digest half) goes
         # left (B'=0) or right (B'=1) in the next row's input; the other
         # half holds the private sibling (unconstrained here, bound by the
         # final root connect).
@@ -276,10 +337,10 @@ class Poseidon2TableAir(Air):
             left = mc * (1 - nxt_bit)
             right = mc * nxt_bit
             for j in range(d):
-                b.assert_zero(left * (nxt[i * d + j] - cur[i * d + j]))
+                b.assert_zero(left * (nxt_in[i * d + j] - out[i * d + j]))
                 b.assert_zero(
                     right
-                    * (nxt[(L.digest_limbs + i) * d + j] - cur[i * d + j])
+                    * (nxt_in[(L.digest_limbs + i) * d + j] - out[i * d + j])
                 )
 
     def lookups(self):
@@ -289,9 +350,20 @@ class Poseidon2TableAir(Air):
         for l in range(L.width_ext):
             inters.append(
                 Interaction(
-                    [Var("preprocessed", L.p_io_idx + l, 0)]
+                    [Var("preprocessed", L.p_in_idx + l, 0)]
                     + [Var("main", l * d + j, 0) for j in range(d)],
-                    Var("preprocessed", L.p_io_mult + l, 0),
+                    Var("preprocessed", L.p_in_mult + l, 0),
+                )
+            )
+        for l in range(L.width_ext):
+            inters.append(
+                Interaction(
+                    [Var("preprocessed", L.p_out_idx + l, 0)]
+                    + [
+                        Var("main", L.out_off + l * d + j, 0)
+                        for j in range(d)
+                    ],
+                    Var("preprocessed", L.p_out_mult + l, 0),
                 )
             )
         inters.append(
@@ -307,8 +379,8 @@ class Poseidon2TableAir(Air):
 def chain_order(calls) -> list:
     """Row order of perm calls: chains contiguous, in first-appearance
     order, each chain's calls in op order.  The in-table chaining
-    constraints bind ADJACENT row blocks, so a chain's blocks must be
-    adjacent even when its calls interleave with other chains (e.g. the
+    constraints bind ADJACENT rows, so a chain's rows must be adjacent
+    even when its calls interleave with other chains (e.g. the
     challenger's transcript-long chain vs per-query MMCS chains)."""
     first: dict = {}
     for c in calls:
@@ -336,9 +408,7 @@ class Poseidon2Npo:
         assert params.width % (4 * d) == 0 or params.width % d == 0
         self.params = params
         self.d = d
-        self.L = _Layout(
-            params.width, d, _sbox_registers(params.field.sbox_degree)
-        )
+        self.L = _Layout(params, d)
         self.type_id = f"poseidon2_perm/{params.field.name}_d{d}_w{params.width}"
 
     # ----- circuit/runner plugin API -----
@@ -364,144 +434,151 @@ class Poseidon2Npo:
 
     @property
     def rows_per_perm(self) -> int:
-        return 2 + self.params.full_rounds + self.params.partial_rounds
+        return 1
 
     def table_air(self) -> Poseidon2TableAir:
         return Poseidon2TableAir(self.params, self.d)
-
-    def _rc_block(self) -> np.ndarray:
-        """(rows_per_perm, width) round-constant pattern of one block."""
-        width = self.params.width
-        rpp = self.rows_per_perm
-        rf2 = self.params.full_rounds // 2
-        rc = np.zeros((rpp, width), dtype=U32)
-        r = 1  # row 0 = input (no rc), row 1 = after M_E
-        for e in range(rf2):
-            rc[r] = self.params.rc_ext[e]
-            r += 1
-        for i in range(self.params.partial_rounds):
-            rc[r, 0] = self.params.rc_int[i]
-            r += 1
-        for e in range(rf2, self.params.full_rounds):
-            rc[r] = self.params.rc_ext[e]
-            r += 1
-        assert r == rpp - 1  # last row applies no round
-        return rc
 
     def build_prep(self, calls, min_height: int) -> np.ndarray:
         F = self.params.field
         d = self.d
         L = self.L
-        rpp = self.rows_per_perm
-        rf2 = self.params.full_rounds // 2
-        block = np.zeros((rpp, L.prep_width), dtype=U32)
-        block[:, : L.width] = self._rc_block()
-        block[0, L.p_sel_me] = 1
-        r = 1
-        for _ in range(rf2):
-            block[r, L.p_sel_ext] = 1
-            r += 1
-        for _ in range(self.params.partial_rounds):
-            block[r, L.p_sel_int] = 1
-            r += 1
-        for _ in range(rf2, self.params.full_rounds):
-            block[r, L.p_sel_ext] = 1
-            r += 1
-        assert r == rpp - 1
         ordered = chain_order(calls)
-        prep = np.zeros((len(calls) * rpp, L.prep_width), dtype=U32)
+        prep = np.zeros((len(calls), L.prep_width), dtype=U32)
         for ci, call in enumerate(ordered):
-            base = ci * rpp
-            last = base + rpp - 1
-            prep[base : base + rpp] = block
+            row = prep[ci]
             for l, wid in enumerate(call.inputs):
                 if wid is not None:
-                    prep[base, L.p_io_idx + l] = wid * d
-                    prep[base, L.p_io_mult + l] = call.in_mults[l] % F.P
+                    row[L.p_in_idx + l] = wid * d
+                    row[L.p_in_mult + l] = call.in_mults[l] % F.P
             if call.new_start:
                 assert not call.merkle_path, "merkle rows never start chains"
                 for l, wid in enumerate(call.inputs):
                     if wid is None:
-                        prep[base, L.p_zerol + l] = 1
+                        row[L.p_zerol + l] = 1
             elif call.merkle_path and getattr(call, "merkle_arity", 2) == 4:
                 assert L.arity4, "arity-4 merkle rows need the W32 table"
                 for i in range(L.digest_limbs):
                     assert call.inputs[i] is None, (
                         "merkle rows must not CTL the running-digest slot"
                     )
-                prep[base, L.p_merkle4] = 1
-                prep[base, L.p_macc4] = 1
+                row[L.p_merkle4] = 1
+                row[L.p_macc4] = 1
             elif call.merkle_path:
                 for i in range(L.digest_limbs):
                     assert call.inputs[i] is None, (
                         "merkle rows must not CTL the running-digest half"
                     )
-                    prep[base, L.p_merkle + i] = 1
-                prep[base, L.p_macc] = 1
+                    row[L.p_merkle + i] = 1
+                row[L.p_macc] = 1
             else:
                 for l, wid in enumerate(call.inputs):
                     if wid is None:
-                        prep[base, L.p_sponge + l] = 1
+                        row[L.p_sponge + l] = 1
             if call.merkle_path:
-                prep[base : base + rpp, L.p_mrow] = 1
+                row[L.p_mrow] = 1
             for l, wid in enumerate(call.outputs):
                 if wid is not None:
-                    prep[last, L.p_io_idx + l] = wid * d
-                    prep[last, L.p_io_mult + l] = call.out_mults[l] % F.P
+                    row[L.p_out_idx + l] = wid * d
+                    row[L.p_out_mult + l] = call.out_mults[l] % F.P
             if call.sum_out is not None:
-                prep[last, L.p_sum_idx] = call.sum_out * d
-                prep[last, L.p_sum_mult] = call.sum_mult % F.P
+                row[L.p_sum_idx] = call.sum_out * d
+                row[L.p_sum_mult] = call.sum_mult % F.P
         from .batch_prover import _pad_pow2
 
         return _pad_pow2(prep, min_height)
 
+    # ----- trace assembly -----
+
+    def _perm_body(self, states, xp):
+        """(n, W) input states -> (n, perm-column block) wide rows."""
+        F = self.params.field
+        P = self.params
+        width = P.width
+        deg = F.sbox_degree
+        rf2 = P.full_rounds // 2
+        rp = P.partial_rounds
+        rows = permute_with_rows(P, states, xp)  # (n, 2+RF+RP, W)
+        cols = [rows[:, 0]]
+
+        def full_cols(ridx, row_before, row_after):
+            rc = xp.asarray(
+                np.asarray(P.rc_ext[ridx], dtype=U32).reshape(1, width)
+            )
+            if deg == 7:
+                t = F.add(row_before, rc, xp)
+                reg = F.mul(F.mul(t, t, xp), t, xp)
+                cols.append(reg)
+            cols.append(row_after)
+
+        def part_cols(ridx, row_before):
+            rc = U32(int(P.rc_int[ridx]) % F.P)
+            t = F.add(row_before[:, :1], rc, xp)
+            c3 = F.mul(F.mul(t, t, xp), t, xp)
+            if deg == 7:
+                cols.append(c3)
+                cols.append(F.mul(F.mul(c3, c3, xp), t, xp))
+            else:
+                cols.append(c3)
+
+        for f in range(rf2):
+            full_cols(f, rows[:, 1 + f], rows[:, 2 + f])
+        for r in range(rp):
+            part_cols(r, rows[:, 1 + rf2 + r])
+        for f in range(rf2):
+            e = rf2 + f
+            full_cols(e, rows[:, 1 + rf2 + rp + f], rows[:, 2 + rf2 + rp + f])
+        return xp.concatenate(cols, axis=1)
+
+    @functools.cached_property
+    def _pad_row(self) -> np.ndarray:
+        """Wide row for the all-zero input state (all extras zero): the
+        padding pattern — satisfies every round constraint honestly."""
+        body = self._perm_body(np.zeros((1, self.params.width), dtype=U32), np)
+        n_extra = self.L.main_width - body.shape[1]
+        return np.concatenate(
+            [body, np.zeros((1, n_extra), dtype=U32)], axis=1
+        )
+
+    def _extras(self, recs) -> np.ndarray:
+        F = self.params.field
+        n = len(recs)
+        n_extra = 4 if self.L.arity4 else 2
+        extra = np.zeros((n, n_extra), dtype=U32)
+        extra[:, -1] = np.asarray(
+            [int(r[2]) % F.P for r in recs], dtype=U32
+        )
+        bits = np.asarray([r[1] for r in recs], dtype=U32)
+        extra[:, 0] = bits
+        if self.L.arity4:
+            bit2 = np.asarray(
+                [r[3] if len(r) > 3 else 0 for r in recs], dtype=U32
+            )
+            extra[:, 1] = bit2
+            extra[:, 2] = bits * bit2
+        return extra
+
+    def _pad_main(self, body: np.ndarray, min_height: int):
+        n = body.shape[0]
+        target = max(min_height, 1 << max(n - 1, 0).bit_length())
+        if target == n:
+            return body
+        pad = np.broadcast_to(self._pad_row, (target - n, self.L.main_width))
+        return np.concatenate([body, pad], axis=0)
+
     def build_main(self, calls, records, min_height: int) -> np.ndarray:
         """records[i] = (input state (width,), bit, sum) for ordered call i."""
-        from .batch_prover import _pad_pow2
-
-        F = self.params.field
-        width = self.params.width
-        n_sbox = _sbox_registers(F.sbox_degree)
         if not records:
-            return np.zeros(
-                (min_height, (1 + n_sbox) * width + 2), dtype=U32
+            return self._pad_main(
+                np.zeros((0, self.L.main_width), dtype=U32), min_height
             )
         ordered = chain_order(calls)
         rec_by_op = {c.op_id: r for c, r in zip(calls, records)}
         recs = [rec_by_op[c.op_id] for c in ordered]
         states = np.stack([r[0] for r in recs]).astype(U32)
-        rpp = self.rows_per_perm
-        n_perms = states.shape[0]
-        native = self._native_perm()
-        if native is not None:
-            # one C++ pass emits state + S-box register columns directly
-            body = native.table_rows(states, self._rc_block(), n_sbox)
-            body = body.reshape(n_perms * rpp, (1 + n_sbox) * width)
-        else:
-            rows = permute_with_rows(self.params, states, np)  # (n, rpp, w)
-            assert rows.shape[1] == rpp
-            flat = rows.reshape(n_perms * rpp, width)
-            rc = np.tile(self._rc_block(), (n_perms, 1))
-            t = F.add(flat, rc, np)
-            cube = F.mul(F.mul(t, t, np), t, np)
-            if n_sbox == 1:
-                sbox_blocks = [cube]
-            else:
-                sbox_blocks = [cube, F.mul(F.mul(cube, cube, np), t, np)]
-            body = np.concatenate([flat] + sbox_blocks, axis=1)
-        n_extra = 4 if self.L.arity4 else 2
-        extra = np.zeros((n_perms * rpp, n_extra), dtype=U32)
-        bits = np.asarray([r[1] for r in recs], dtype=U32)
-        extra[::rpp, 0] = bits
-        sums = np.asarray([int(r[2]) % F.P for r in recs], dtype=U32)
-        extra[:, 1] = np.repeat(sums, rpp)
-        if self.L.arity4:
-            bit2 = np.asarray(
-                [r[3] if len(r) > 3 else 0 for r in recs], dtype=U32
-            )
-            extra[::rpp, 2] = bit2
-            extra[::rpp, 3] = bits * bit2
-        return _pad_pow2(np.concatenate([body, extra], axis=1), min_height)
+        body = self._perm_body(states, np)
+        main = np.concatenate([body, self._extras(recs)], axis=1)
+        return self._pad_main(main, min_height)
 
 
 @functools.lru_cache(maxsize=None)
@@ -527,7 +604,7 @@ def baby_bear_poseidon2_npo() -> Poseidon2Npo:
 
 
 def _device_table_fn(npo: Poseidon2Npo, n_perms: int, min_height: int):
-    """Cached jit: (states (n, width), extra (n·rpp, n_extra)) -> padded
+    """Cached jit: (states (n, width), extra (n, n_extra)) -> padded wide
     main table, fully on device (the host uploads only the input states)."""
     import jax
     import jax.numpy as jnp
@@ -536,25 +613,23 @@ def _device_table_fn(npo: Poseidon2Npo, n_perms: int, min_height: int):
     fn = _DEVICE_TABLE_CACHE.get(key)
     if fn is not None:
         return fn
-    F = npo.params.field
-    width = npo.params.width
-    n_sbox = _sbox_registers(F.sbox_degree)
-    rpp = npo.rows_per_perm
-    rc_tile = np.tile(npo._rc_block(), (n_perms, 1))
-    n_rows = n_perms * rpp
-    target = max(min_height, 1 << max(n_rows - 1, 0).bit_length())
+    target = max(min_height, 1 << max(n_perms - 1, 0).bit_length())
+    pad_row = npo._pad_row
 
     def body(states, extra):
-        rows = permute_with_rows(npo.params, states, jnp)
-        flat = rows.reshape(n_rows, width)
-        t = F.add(flat, jnp.asarray(rc_tile), jnp)
-        cube = F.mul(F.mul(t, t, jnp), t, jnp)
-        blocks = [flat, cube]
-        if n_sbox == 2:
-            blocks.append(F.mul(F.mul(cube, cube, jnp), t, jnp))
-        main = jnp.concatenate(blocks + [extra], axis=1)
-        if target > n_rows:
-            main = jnp.pad(main, [(0, target - n_rows), (0, 0)])
+        wide = npo._perm_body(states, jnp)
+        main = jnp.concatenate([wide, extra], axis=1)
+        if target > n_perms:
+            main = jnp.concatenate(
+                [
+                    main,
+                    jnp.broadcast_to(
+                        jnp.asarray(pad_row),
+                        (target - n_perms, npo.L.main_width),
+                    ),
+                ],
+                axis=0,
+            )
         return main
 
     fn = jax.jit(body)
@@ -567,28 +642,15 @@ _DEVICE_TABLE_CACHE: dict = {}
 
 def _poseidon2_build_main_device(self, calls, records, min_height: int):
     """Device-resident `build_main` (bit-identical; see _device_table_fn)."""
-    F = self.params.field
     if not records:
         return self.build_main(calls, records, min_height)
     ordered = chain_order(calls)
     rec_by_op = {c.op_id: r for c, r in zip(calls, records)}
     recs = [rec_by_op[c.op_id] for c in ordered]
     states = np.stack([r[0] for r in recs]).astype(U32)
-    rpp = self.rows_per_perm
-    n_perms = states.shape[0]
-    n_extra = 4 if self.L.arity4 else 2
-    extra = np.zeros((n_perms * rpp, n_extra), dtype=U32)
-    bits = np.asarray([r[1] for r in recs], dtype=U32)
-    extra[::rpp, 0] = bits
-    sums = np.asarray([int(r[2]) % F.P for r in recs], dtype=U32)
-    extra[:, 1] = np.repeat(sums, rpp)
-    if self.L.arity4:
-        bit2 = np.asarray(
-            [r[3] if len(r) > 3 else 0 for r in recs], dtype=U32
-        )
-        extra[::rpp, 2] = bit2
-        extra[::rpp, 3] = bits * bit2
-    return _device_table_fn(self, n_perms, min_height)(states, extra)
+    return _device_table_fn(self, len(recs), min_height)(
+        states, self._extras(recs)
+    )
 
 
 Poseidon2Npo.build_main_device = _poseidon2_build_main_device

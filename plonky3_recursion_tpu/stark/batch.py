@@ -836,12 +836,15 @@ def _quotient_jit(config, inst, builder, shape, names, challenges, alpha, pm, te
     )
     gpow = _power_table(F, F.generator, n)
     sels = lde_selectors(F, s.log_n, lq, F.generator)
-    from ..ops.jitk import _dev, _dev_ntt
+    from ..ops.jitk import _dev, _dev_ntt, _dev_ntt_auto
 
+    # Pallas NTT tables only off-mesh (the kernel is per-device; the mesh
+    # path keeps the shardable staged NTT so GSPMD can insert collectives)
+    dn = _dev_ntt if mesh is not None else _dev_ntt_auto
     consts_d = {
         "gpow": _dev(gpow),
-        "intt_t": _dev_ntt(F, s.log_n, True),
-        "ntt_t": _dev_ntt(F, s.log_n + lq, False),
+        "intt_t": dn(F, s.log_n, True),
+        "ntt_t": dn(F, s.log_n + lq, False),
         "sels": {k: _dev(np.ascontiguousarray(v)) for k, v in sels.items()},
     }
 

@@ -28,7 +28,7 @@ import functools
 import numpy as np
 
 from ..fields.monty31 import Monty31, U32
-from ..ops.ntt import _power_table, intt, ntt, bit_reverse_rows
+from ..ops.ntt import _power_table, intt, ntt, ntt_bitrev, bit_reverse_rows
 from ..ops.poseidon2 import poseidon2_params
 from .domains import lde_selectors, periodic_lde
 from .fri_pcs import FriProof, QueryProof, fri_phase_schedule
@@ -205,7 +205,7 @@ def fused_prove_batch(config, instances, common, debug_lookups=False):
     import jax
     import jax.numpy as jnp
 
-    from ..ops.jitk import _dev, _dev_bitrev, _dev_ntt
+    from ..ops.jitk import _dev, _dev_bitrev, _dev_ntt, _dev_ntt_auto
     from ..utils import ext_powers, modsum, reduce_matrix_ext
     from ..utils.tracing import span
     from .batch import (
@@ -393,8 +393,8 @@ def fused_prove_batch(config, instances, common, debug_lookups=False):
                 lde_tabs[tk] = (
                     unscale,
                     _dev(_power_table(F, int(F.generator), n)),
-                    _dev_ntt(F, log_n, True),
-                    _dev_ntt(F, log_n + lb, False),
+                    _dev_ntt_auto(F, log_n, True),
+                    _dev_ntt_auto(F, log_n + lb, False),
                     _dev_bitrev(n << lb),
                 )
             return tk
@@ -413,8 +413,8 @@ def fused_prove_batch(config, instances, common, debug_lookups=False):
             quot_tabs.append(
                 {
                     "gpow": _dev(_power_table(F, F.generator, n)),
-                    "intt_t": _dev_ntt(F, s.log_n, True),
-                    "ntt_t": _dev_ntt(F, s.log_n + lq, False),
+                    "intt_t": _dev_ntt_auto(F, s.log_n, True),
+                    "ntt_t": _dev_ntt_auto(F, s.log_n + lq, False),
                     "sels": {
                         kk: _dev(np.ascontiguousarray(v))
                         for kk, v in sels.items()
@@ -490,14 +490,15 @@ def fused_prove_batch(config, instances, common, debug_lookups=False):
                 if unscale_d is not None:
                     coeffs = F.monty_mul(coeffs, unscale_d[:, None], jnp)
                 scaled = F.monty_mul(coeffs, gpow_d[:, None], jnp)
-                lde = ntt(
+                lde = ntt_bitrev(
                     F,
                     jnp.pad(scaled, [(0, m - n), (0, 0)]),
                     jnp,
                     tables=ntt_t,
+                    br=br,
                 )
                 coeffs_out.append(coeffs)
-                ldes.append(bit_reverse_rows(lde, jnp, br))
+                ldes.append(lde)
             by_height: dict = {}
             for l in ldes:
                 by_height.setdefault(int(l.shape[0]), []).append(l)

@@ -66,9 +66,9 @@ def test_npo_proof_roundtrip(rng):
     proof = prover.prove_all_tables(circuit, traces, pdata, debug_lookups=True)
     assert prover.verify_all_tables(circuit, proof, pdata)
     # the Poseidon2 table is instance 3; its trace must participate in the
-    # proof shape (2 perms x 30 rows -> padded 64)
-    assert proof.batch.shapes[3].width_main == 34
-    assert 1 << proof.batch.shapes[3].log_n == 64
+    # proof shape (wide layout: one row per perm, 2 perms -> padded 4)
+    assert proof.batch.shapes[3].width_main == 166
+    assert 1 << proof.batch.shapes[3].log_n == 4
 
 
 def test_npo_tampered_trace_rejected(rng):

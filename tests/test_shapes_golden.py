@@ -14,7 +14,7 @@ GOLDEN = [
     (lambda: AluAir(4, 3), (16, 12)),
     (lambda: AluAir(4, 3, lanes=4), (64, 48)),
     (lambda: AluAir(1, 0), (4, 12)),
-    (lambda: koala_bear_poseidon2_npo().table_air(), (34, 41)),
+    (lambda: koala_bear_poseidon2_npo().table_air(), (166, 30)),
 ]
 
 
@@ -26,8 +26,8 @@ def test_air_shapes_pinned():
 
 def test_poseidon2_table_block_shape():
     npo = koala_bear_poseidon2_npo()
-    # 2 + RF + RP rows per permutation for KoalaBear W16 (RF=8, RP=20)
-    assert npo.rows_per_perm == 30
+    # wide layout: ONE row per permutation (reference `Poseidon2Cols`)
+    assert npo.rows_per_perm == 1
 
 
 def test_constraint_counts_pinned():
@@ -39,6 +39,7 @@ def test_constraint_counts_pinned():
         counts[f"{type(air).__name__}_{air.width_main}"] = len(b.constraints)
     assert counts["AluAir_16"] == 16  # 4 kinds x D
     assert counts["AluAir_64"] == 64
-    # 16 sbox + 3x16 round transitions + chaining: 1 bit bool + 1 S kill
-    # + 1 S carry + 1 S accumulate + 4x(4 sponge + 4 zero) + 2x2x4 merkle
-    assert counts["Poseidon2TableAir_34"] == 116
+    # 8 full rounds x 16 posts + 20 partial sboxes + chaining: 1 bit
+    # bool + 1 S kill + 1 S accumulate + 4x(4 sponge + 4 zero) + 2x2x4
+    # merkle placements
+    assert counts["Poseidon2TableAir_166"] == 199
