@@ -55,18 +55,14 @@ class Traces:
         return self.witness[self.circuit.tags[tag]]
 
 
-class CircuitRunner:
+class _ExecPlan:
+    """Per-circuit execution plan: everything `CircuitRunner.__init__` can
+    precompute once and reuse across proofs of the same (static) circuit.
+    Building the level groups / flat native arrays walks every ALU row —
+    tens of ms for recursion-sized circuits — and sat INSIDE the per-proof
+    timing before this cache."""
+
     def __init__(self, circuit: Circuit):
-        self.c = circuit
-        d = circuit.ext.D
-        # cell layout: one u32 per base coefficient for Monty31 fields;
-        # fields wider than 32 bits (Goldilocks) carry a trailing limb dim
-        # (ext.limbs == 2: [lo, hi] u32 pairs, fields/goldilocks.py)
-        self.limbs = getattr(circuit.ext, "limbs", 1)
-        cell = (d, self.limbs) if self.limbs > 1 else (d,)
-        self.wit = np.zeros((circuit.witness_count,) + cell, dtype=U32)
-        self.defined = np.zeros(circuit.witness_count, dtype=bool)
-        self.npo_private: dict = {}
         # pre-group alu rows by (level, kind, solve)
         groups: dict[tuple, list] = {}
         for r in circuit.alu_rows:
@@ -89,29 +85,38 @@ class CircuitRunner:
         self.npos_by_level: dict[int, list] = {}
         for call in circuit.npo_calls:
             self.npos_by_level.setdefault(call.level, []).append(call)
-        self._ran = False
-        self.npo_records: dict[str, list] = {}
+        self.levels = sorted(
+            set(self.groups_by_level)
+            | set(self.hints_by_level)
+            | set(self.npos_by_level)
+        )
+        # coerced const rows (filled lazily by the first runner)
+        self.const_cache: tuple | None = None
+        # chained-NPO static arrays, keyed (type_id, level), + dense chain
+        # index per type_id (filled lazily by the first runner)
+        self.chained_static: dict = {}
+        self.chain_index: dict = {}
         # native executor: level-sorted flat row arrays (C++ hot loop).
-        # Binomial extensions only — trinomial (quintic) circuits fall back
-        # to the vectorized numpy path.
-        self._native = None
-        if self.limbs == 1 and (
-            hasattr(circuit.ext, "W") or circuit.ext.D == 1
-        ):
+        # Binomial extensions only — trinomial (quintic) circuits fall
+        # back to the vectorized numpy path.
+        limbs = getattr(circuit.ext, "limbs", 1)
+        self.native = None
+        self.flat = None
+        if limbs == 1 and (hasattr(circuit.ext, "W") or circuit.ext.D == 1):
             try:
                 from ..native import execute_alu_rows, get_lib
 
                 get_lib()
-                self._native = execute_alu_rows
+                self.native = execute_alu_rows
             except Exception:
                 pass
-        if self._native is not None:
+        if self.native is not None:
             order = sorted(
                 range(len(circuit.alu_rows)),
                 key=lambda i: circuit.alu_rows[i].level,
             )
             rows = [circuit.alu_rows[i] for i in order]
-            self._flat = (
+            self.flat = (
                 np.asarray([r.level for r in rows], dtype=np.int64),
                 np.asarray([r.kind for r in rows], dtype=np.uint8),
                 np.asarray([r.solve for r in rows], dtype=np.uint8),
@@ -120,6 +125,37 @@ class CircuitRunner:
                 np.ascontiguousarray([r.c for r in rows], dtype=np.int32),
                 np.ascontiguousarray([r.out for r in rows], dtype=np.int32),
             )
+
+
+def _exec_plan(circuit: Circuit) -> _ExecPlan:
+    plan = getattr(circuit, "_exec_plan_cache", None)
+    if plan is None:
+        plan = _ExecPlan(circuit)
+        circuit._exec_plan_cache = plan
+    return plan
+
+
+class CircuitRunner:
+    def __init__(self, circuit: Circuit):
+        self.c = circuit
+        d = circuit.ext.D
+        # cell layout: one u32 per base coefficient for Monty31 fields;
+        # fields wider than 32 bits (Goldilocks) carry a trailing limb dim
+        # (ext.limbs == 2: [lo, hi] u32 pairs, fields/goldilocks.py)
+        self.limbs = getattr(circuit.ext, "limbs", 1)
+        cell = (d, self.limbs) if self.limbs > 1 else (d,)
+        self.wit = np.zeros((circuit.witness_count,) + cell, dtype=U32)
+        self.defined = np.zeros(circuit.witness_count, dtype=bool)
+        self.npo_private: dict = {}
+        plan = _exec_plan(circuit)
+        self.groups_by_level = plan.groups_by_level
+        self.hints_by_level = plan.hints_by_level
+        self.npos_by_level = plan.npos_by_level
+        self._levels = plan.levels
+        self._ran = False
+        self.npo_records: dict[str, list] = {}
+        self._native = plan.native
+        self._flat = plan.flat
 
     # ----- inputs -----
 
@@ -234,16 +270,18 @@ class CircuitRunner:
         c = self.c
         E = c.ext
         F = E.base
-        for wid, value, _m in c.const_rows:
-            self.set_witness(wid, value)
+        if c.const_rows:
+            plan = _exec_plan(c)
+            if plan.const_cache is None:
+                plan.const_cache = (
+                    np.asarray([r[0] for r in c.const_rows], dtype=np.int64),
+                    np.stack([self._coerce(r[1]) for r in c.const_rows]),
+                )
+            self._scatter_checked(*plan.const_cache)
         for wid in c.public_rows:
             if not self.defined[wid]:
                 raise MissingInput("public inputs not set")
-        levels = sorted(
-            set(self.groups_by_level)
-            | set(self.hints_by_level)
-            | set(self.npos_by_level)
-        )
+        levels = self._levels
         if self._native is not None:
             self._run_native(levels)
             return self._finish()
@@ -401,102 +439,180 @@ class CircuitRunner:
                     for w, v in zip(h.outputs, h.fn(ins)):
                         self.set_witness(w, v)
 
+    def _chained_static(self, plugin, cs: list, level: int):
+        """Static (circuit-shaped) arrays for one level's chained perm
+        calls, cached on the circuit's exec plan: flag masks, dense chain
+        ids, CTL input/output scatter indices."""
+        plan = _exec_plan(self.c)
+        key = (plugin.type_id, level)
+        st = plan.chained_static.get(key)
+        if st is not None:
+            return st
+        # dense chain index, consistent across levels (built once from the
+        # full circuit-order call list)
+        cidx = plan.chain_index.get(plugin.type_id)
+        if cidx is None:
+            cidx = {}
+            for call in self.c.npo_calls:
+                if call.plugin.type_id == plugin.type_id:
+                    cidx.setdefault(call.chain, len(cidx))
+            plan.chain_index[plugin.type_id] = cidx
+        d = self.c.ext.D
+        width = plugin.params.width
+        n_limbs = width // d
+        k = len(cs)
+        new_start = np.asarray([c.new_start for c in cs], dtype=bool)
+        merkle = np.asarray([bool(c.merkle_path) for c in cs], dtype=bool)
+        arity4 = merkle & np.asarray(
+            [getattr(c, "merkle_arity", 2) == 4 for c in cs], dtype=bool
+        )
+        chain_ids = np.asarray([cidx[c.chain] for c in cs], dtype=np.int64)
+        in_wids = np.full((k, n_limbs), -1, dtype=np.int64)
+        out_wids = np.full((k, n_limbs), -1, dtype=np.int64)
+        sum_outs = np.full(k, -1, dtype=np.int64)
+        for i, c in enumerate(cs):
+            for l, wid in enumerate(c.inputs):
+                if wid is not None:
+                    in_wids[i, l] = wid
+            for l, wid in enumerate(c.outputs):
+                if wid is not None:
+                    out_wids[i, l] = wid
+            if c.sum_out is not None:
+                sum_outs[i] = c.sum_out
+        in_r, in_l = np.nonzero(in_wids >= 0)
+        out_r, out_l = np.nonzero(out_wids >= 0)
+        st = {
+            "n_chains": len(cidx),
+            "n_limbs": n_limbs,
+            "new_start": new_start,
+            "merkle": merkle,
+            "arity4": arity4,
+            "chain_ids": chain_ids,
+            "in_rl": (in_r, in_l, in_wids[in_r, in_l]),
+            "out_rl": (out_r, out_l, out_wids[out_r, out_l]),
+            "sum_rows": np.nonzero(sum_outs >= 0)[0],
+            "sum_wids": sum_outs[sum_outs >= 0],
+            "m2_rows": np.nonzero(merkle & ~arity4)[0],
+            "m4_rows": np.nonzero(arity4)[0],
+            "tags": [c.tag for c in cs],
+            "op_ids": [c.op_id for c in cs],
+        }
+        plan.chained_static[key] = st
+        return st
+
     def _run_chained(self, plugin, cs: list):
         """Chained perm calls of one level: assemble each call's input state
         from (chain state | private sibling | CTL'd witness values | merkle
         swap), run ONE batched permutation, scatter outputs and update chain
         state (reference `poseidon_perm/executor.rs:924-970` semantics,
-        vectorized across the level's independent chains)."""
+        vectorized across the level's independent chains — per-call python
+        work is limited to private-data dict lookups on merkle rows)."""
         E = self.c.ext
         d = E.D
         width = plugin.params.width
         rate = width // 2
-        if not hasattr(self, "_chain_state"):
-            self._chain_state: dict = {}
-        st_map = self._chain_state.setdefault(plugin.type_id, {})
+        s = self._chained_static(plugin, cs, cs[0].level)
         k = len(cs)
         tail = (self.limbs,) if self.limbs > 1 else ()
+        if not hasattr(self, "_chain_state"):
+            self._chain_state: dict = {}
+        cstate = self._chain_state.get(plugin.type_id)
+        if cstate is None:
+            cstate = (
+                np.zeros((s["n_chains"], width) + tail, dtype=U32),
+                np.zeros(s["n_chains"], dtype=np.int64),
+                np.zeros(s["n_chains"], dtype=bool),
+            )
+            self._chain_state[plugin.type_id] = cstate
+        chain_arr, chain_sums, chain_valid = cstate
+        ids = s["chain_ids"]
+        new_start, merkle, arity4 = s["new_start"], s["merkle"], s["arity4"]
+        prev_states = chain_arr[ids]
+        prev_sums = chain_sums[ids]
+        need_prev = ~new_start
+        if not np.all(chain_valid[ids] | ~need_prev):
+            bad = np.nonzero(need_prev & ~chain_valid[ids])[0][0]
+            raise MissingInput(
+                f"npo chain {cs[bad].chain} op {cs[bad].op_id}: no prior "
+                "output to chain from"
+            )
         states = np.zeros((k, width) + tail, dtype=U32)
+        m_full = need_prev & ~merkle
+        states[m_full] = prev_states[m_full]
+        m2 = merkle & ~arity4
+        states[m2, :rate] = prev_states[m2, :rate]
         bits = np.zeros(k, dtype=np.int64)
         bits2 = np.zeros(k, dtype=np.int64)
-        sums = np.zeros(k, dtype=np.int64)
-        for i, call in enumerate(cs):
-            st = states[i]
-            prev = st_map.get(call.chain)
-            arity4 = call.merkle_path and (
-                getattr(call, "merkle_arity", 2) == 4
-            )
-            if not call.new_start:
-                if prev is None:
-                    raise MissingInput(
-                        f"npo chain {call.chain} op {call.op_id}: no prior "
-                        "output to chain from"
-                    )
-                if arity4:
-                    pass  # running digest placed by position below
-                elif call.merkle_path:
-                    st[:rate] = prev[0][:rate]
-                else:
-                    st[:] = prev[0]
-            bit = 0
-            bit2 = 0
-            if call.merkle_path:
-                priv = (
-                    self.npo_private.get(call.tag)
-                    if call.tag is not None
-                    else None
+        npo_private = self.npo_private
+        for i in s["m2_rows"]:
+            tag = s["tags"][i]
+            priv = npo_private.get(tag) if tag is not None else None
+            if priv is not None:
+                bits[i] = int(priv.get("bit", 0))
+                sib = priv.get("sibling")
+                if sib is not None:
+                    sib = np.asarray(sib, dtype=U32)
+                    states[i, rate : rate + sib.shape[0]] = sib
+        for i in s["m4_rows"]:
+            tag = s["tags"][i]
+            priv = npo_private.get(tag) if tag is not None else None
+            # priv: {"bits": (b, b2), "siblings": (3, 8)} — the running
+            # digest goes to slot b + 2·b2; the other three 8-element slots
+            # hold the private sibling digests
+            if priv is not None:
+                b_, b2_ = (int(x) for x in priv.get("bits", (0, 0)))
+                bits[i], bits2[i] = b_, b2_
+                sibs = np.asarray(priv.get("siblings"), dtype=U32).reshape(
+                    3, 8
                 )
-                if arity4:
-                    # priv: {"bits": (b, b2), "siblings": (3, 8)} — the
-                    # running digest goes to slot b + 2·b2; the other three
-                    # 8-element slots hold the private sibling digests
-                    if priv is not None:
-                        bit, bit2 = (int(x) for x in priv.get("bits", (0, 0)))
-                        sibs = np.asarray(
-                            priv.get("siblings"), dtype=U32
-                        ).reshape(3, 8)
-                    else:
-                        sibs = np.zeros((3, 8), dtype=U32)
-                    pos = bit + 2 * bit2
-                    si = 0
-                    for q in range(4):
-                        if q == pos:
-                            st[8 * q : 8 * q + 8] = prev[0][:8]
-                        else:
-                            st[8 * q : 8 * q + 8] = sibs[si]
-                            si += 1
-                elif priv is not None:
-                    bit = int(priv.get("bit", 0))
-                    sib = priv.get("sibling")
-                    if sib is not None:
-                        sib = np.asarray(sib, dtype=U32)
-                        st[rate : rate + sib.shape[0]] = sib
-            for l, wid in enumerate(call.inputs):
-                if wid is not None:
-                    st[l * d : (l + 1) * d] = self.wit[wid]
-            if call.merkle_path and bit and not arity4:
-                tmp = st[:rate].copy()
-                st[:rate] = st[rate:]
-                st[rate:] = tmp
-            if call.merkle_path:
-                prev_sum = prev[1] if prev is not None else 0
-                if arity4:
-                    sums[i] = 4 * prev_sum + bit + 2 * bit2
+            else:
+                b_ = b2_ = 0
+                sibs = np.zeros((3, 8), dtype=U32)
+            pos = b_ + 2 * b2_
+            si = 0
+            for q in range(4):
+                if q == pos:
+                    states[i, 8 * q : 8 * q + 8] = prev_states[i, :8]
                 else:
-                    sums[i] = 2 * prev_sum + bit
-            bits[i] = bit
-            bits2[i] = bit2
+                    states[i, 8 * q : 8 * q + 8] = sibs[si]
+                    si += 1
+        # CTL'd witness inputs overwrite chain/sibling placements
+        in_r, in_l, in_w = s["in_rl"]
+        if in_r.size:
+            sv = states.reshape((k, s["n_limbs"], d) + tail)
+            sv[in_r, in_l] = self.wit[in_w]
+        # arity-2 merkle direction swap (after CTL placement)
+        m_swap = m2 & (bits == 1)
+        if np.any(m_swap):
+            tmp = states[m_swap, :rate].copy()
+            states[m_swap, :rate] = states[m_swap, rate:]
+            states[m_swap, rate:] = tmp
+        psum = np.where(chain_valid[ids], prev_sums, 0)
+        sums = np.where(
+            arity4,
+            4 * psum + bits + 2 * bits2,
+            np.where(merkle, 2 * psum + bits, 0),
+        )
         outs = plugin.permute_states(states)
+        out_r, out_l, out_w = s["out_rl"]
+        if out_r.size:
+            ov = outs.reshape((k, s["n_limbs"], d) + tail)
+            self._scatter_checked(out_w, ov[out_r, out_l])
+        if s["sum_rows"].size:
+            sv = np.zeros((s["sum_rows"].size, d) + tail, dtype=U32)
+            if tail:
+                sv[:, 0, 0] = sums[s["sum_rows"]].astype(U32)
+            else:
+                sv[:, 0] = sums[s["sum_rows"]].astype(U32)
+            self._scatter_checked(s["sum_wids"], sv)
+        chain_arr[ids] = outs
+        chain_sums[ids] = sums
+        chain_valid[ids] = True
         recs = self.npo_records.setdefault(plugin.type_id, {})
-        for i, call in enumerate(cs):
-            st_map[call.chain] = (outs[i], int(sums[i]))
-            for l, w in enumerate(call.outputs):
-                if w is not None:
-                    self.set_witness(w, outs[i, l * d : (l + 1) * d])
-            if call.sum_out is not None:
-                self.set_witness(call.sum_out, int(sums[i]))
-            recs[call.op_id] = (
-                states[i].copy(),
+        op_ids = s["op_ids"]
+        for i in range(k):
+            recs[op_ids[i]] = (
+                states[i],
                 int(bits[i]),
                 int(sums[i]),
                 int(bits2[i]),
