@@ -113,4 +113,59 @@ class FriRecursionBackend(PcsRecursionBackend):
         )
 
 
+class WhirRecursionBackend(PcsRecursionBackend):
+    """WHIR backend: the layer's verifier circuit verifies WHIR openings
+    (`build_whir_verifier_circuit` — the `verify_whir_circuit` analog,
+    reference `recursion/src/pcs/whir/verifier.rs:64`), plugged through the
+    same `PcsRecursionBackend` surface the FRI backend uses, so
+    `NextLayerPrep`/`prove_next_layer` drive it unchanged.
+
+    The inner statement is a WHIR commitment opened at points
+    (`whir_verifier._WhirView`); the LAYER itself is proven with the
+    standard batch-stark prover under `config` — mirroring the reference,
+    whose WHIR surface is the in-circuit opening verifier (its own STARK
+    engine, like ours, proves layers under the two-adic FRI PCS;
+    `recursion/tests/whir_verifier.rs`)."""
+
+    def __init__(self, params, n_points: int, base_leaf0: bool = True):
+        self.params = params
+        self.n_points = n_points
+        self.base_leaf0 = base_leaf0
+
+    def build_verifier_circuit(
+        self,
+        config: StarkConfig,
+        airs_lookups: list = (),
+        shapes: list = (),
+        common=None,
+        *,
+        terminal_checks=None,
+        app_public_idx=None,
+        horner_k: int = 8,
+    ):
+        from .whir_verifier import build_whir_verifier_circuit
+
+        return build_whir_verifier_circuit(
+            config, self.params, self.n_points, base_leaf0=self.base_leaf0
+        )
+
+    def set_private_data(self, runner, vcr, view) -> None:
+        for key, data in vcr.pack_npo_private(view).items():
+            runner.set_private_data(key, data)
+
+    def fingerprint_key(self, config: StarkConfig) -> tuple:
+        p = self.params
+        return (
+            "whir",
+            p.num_variables,
+            p.folding_factor,
+            p.num_rounds,
+            p.num_queries,
+            p.query_pow_bits,
+            p.log_inv_rate,
+            self.n_points,
+            self.base_leaf0,
+        )
+
+
 DEFAULT_BACKEND = FriRecursionBackend()

@@ -340,16 +340,15 @@ def prove_next_layer(
     # collection was measured at ~7s on the layer workload
     from ..utils.tracing import span
 
+    # the extractor payload: batch-stark inners expose `.batch`; other
+    # backends (e.g. WhirRecursionBackend) take their view object directly
+    payload = getattr(inner_proof, "batch", inner_proof)
     runner = prep.circuit.runner()
     with span("pack_inputs"):
-        runner.set_public_inputs(
-            prep.vcr.pack_public_inputs(inner_proof.batch)
-        )
-        runner.set_private_inputs(
-            prep.vcr.pack_private_inputs(inner_proof.batch)
-        )
+        runner.set_public_inputs(prep.vcr.pack_public_inputs(payload))
+        runner.set_private_inputs(prep.vcr.pack_private_inputs(payload))
     with span("set_private_data"):
-        prep.backend.set_private_data(runner, prep.vcr, inner_proof.batch)
+        prep.backend.set_private_data(runner, prep.vcr, payload)
     with span("runner.run"):
         traces = runner.run()
     prover = BatchStarkProver(config)

@@ -140,3 +140,38 @@ def test_whir_verifier_circuit(rng):
         r2.set_private_data(key, data)
     with pytest.raises((WitnessConflict, ValueError)):
         r2.run()
+
+
+def test_whir_recursion_backend(rng):
+    """WHIR plugged through `PcsRecursionBackend`: the layer prep/prove
+    pipeline (`NextLayerPrep` + `prove_next_layer`) drives the WHIR
+    verifier circuit exactly like the FRI backend drives its own —
+    the VERDICT/SURVEY "WHIR as a pipeline PCS" plug-in point."""
+    from plonky3_recursion_tpu.prover import (
+        BatchStarkProver,
+        circuit_prover_data,
+    )
+    from plonky3_recursion_tpu.recursion.backend import WhirRecursionBackend
+    from plonky3_recursion_tpu.recursion.recursion import (
+        NextLayerPrep,
+        prove_next_layer,
+    )
+    from plonky3_recursion_tpu.recursion.whir_verifier import _WhirView
+
+    config = koala_bear_config(FriParams.testing())
+    w, _vec, root, pts, vals, proof = _setup(rng)
+    backend = WhirRecursionBackend(PARAMS, n_points=len(pts))
+    vcr = backend.build_verifier_circuit(config)
+    circuit = vcr.builder.build()
+    pdata = circuit_prover_data(config, circuit)
+    prep = NextLayerPrep(circuit, vcr, pdata, backend)
+    view = _WhirView(root, pts, vals, proof)
+    layer = prove_next_layer(config, prep, view, debug_lookups=True)
+    prover = BatchStarkProver(config)
+    assert prover.verify_all_tables(circuit, layer, prep.pdata)
+    # the backend's fingerprint key distinguishes WHIR shapes
+    k1 = backend.fingerprint_key(config)
+    k2 = WhirRecursionBackend(
+        dataclasses.replace(PARAMS, num_queries=11), n_points=len(pts)
+    ).fingerprint_key(config)
+    assert k1 != k2 and k1[0] == "whir"
