@@ -92,6 +92,8 @@ def main():
         runner = circuit.runner()
         runner.set_public_inputs(vcr.pack_public_inputs(proof))
         runner.set_private_inputs(vcr.pack_private_inputs(proof))
+        for key, data in vcr.pack_npo_private(proof).items():
+            runner.set_private_data(key, data)
         traces = runner.run()
         t0 = time.time()
         layer = BatchStarkProver(config).prove_all_tables(

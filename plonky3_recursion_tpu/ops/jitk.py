@@ -43,6 +43,27 @@ from .poseidon2 import poseidon2_params
 _DEV_CONSTS: dict = {}
 
 
+def mesh_row_sharder(mesh, axis: str = "rows"):
+    """Row-sharding annotator for jit bodies: identity when mesh is None;
+    otherwise constrains axis 0 over the mesh (when divisible — tiny
+    replicated arrays pass through)."""
+    if mesh is None:
+        return lambda arr: arr
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n_dev = mesh.devices.size
+
+    def shard(arr):
+        if arr.shape[0] % n_dev:
+            return arr
+        return jax.lax.with_sharding_constraint(
+            arr,
+            NamedSharding(mesh, P(axis, *([None] * (arr.ndim - 1)))),
+        )
+
+    return shard
+
+
 def _dev(arr: np.ndarray):
     got = _DEV_CONSTS.get(id(arr))
     if got is None:
@@ -82,10 +103,14 @@ def _use_pallas_ntt(log_n: int) -> bool:
     return _use_pallas()
 
 
-def _dev_ntt_auto(field: Monty31, log_n: int, inverse: bool):
+def _dev_ntt_auto(
+    field: Monty31, log_n: int, inverse: bool, allow_pallas: bool = True
+):
     """`_dev_ntt`, but selects the Pallas-kernel table format (a dict —
-    `ntt`/`ntt_bitrev` dispatch on it) for large transforms on TPU."""
-    if not _use_pallas_ntt(log_n):
+    `ntt`/`ntt_bitrev` dispatch on it) for large transforms on TPU.
+    allow_pallas=False forces the portable path (mesh/GSPMD programs:
+    pallas_call does not partition under sharding constraints)."""
+    if not allow_pallas or not _use_pallas_ntt(log_n):
         return _dev_ntt(field, log_n, inverse)
     from .pallas_ntt import pallas_ntt_tables
 
@@ -182,12 +207,22 @@ def lde_commit_fn(
 
 
 @functools.lru_cache(maxsize=None)
-def round_commit_fn(field: Monty31, sig: tuple, log_blowup: int):
+def round_commit_fn(
+    field: Monty31,
+    sig: tuple,
+    log_blowup: int,
+    mesh=None,
+    mesh_axis: str = "rows",
+):
     """Fused whole-round commit: every matrix's interpolation + LDE + the
     full Merkle tree in ONE compiled graph (one device round-trip).
 
     sig: tuple of (shift, log_n, width).  fn(*evals) ->
-    (coeffs tuple, ldes tuple (bitrev), layers tuple)."""
+    (coeffs tuple, ldes tuple (bitrev), layers tuple).
+
+    mesh: rows of every LDE/digest layer carry sharding constraints over
+    the mesh axis — GSPMD turns the same graph into the multi-chip commit
+    (NTT all_to_alls + Merkle all_gathers inserted by XLA)."""
     p = field.P
     params = poseidon2_params(field, 16)
     pre = []
@@ -205,13 +240,16 @@ def round_commit_fn(field: Monty31, sig: tuple, log_blowup: int):
                 (
                     None if unscale is None else _dev(unscale),
                     _dev(gpow),
-                    _dev_ntt_auto(field, log_n, True),
-                    _dev_ntt_auto(field, log_n + log_blowup, False),
+                    _dev_ntt_auto(field, log_n, True, mesh is None),
+                    _dev_ntt_auto(
+                        field, log_n + log_blowup, False, mesh is None
+                    ),
                     _dev_bitrev(n << log_blowup),
                 ),
             )
         )
     all_consts = tuple(c for _ln, c in pre)
+    shard = mesh_row_sharder(mesh, mesh_axis)
 
     def fn(consts, *mats):
         coeffs_out = []
@@ -220,7 +258,7 @@ def round_commit_fn(field: Monty31, sig: tuple, log_blowup: int):
             unscale_d, gpow_d, intt_t, ntt_t, br = cc
             n = 1 << log_n
             m = n << log_blowup
-            coeffs = intt(field, evals, jnp, tables=intt_t)
+            coeffs = intt(field, shard(evals), jnp, tables=intt_t)
             if unscale_d is not None:
                 coeffs = field.monty_mul(coeffs, unscale_d[:, None], jnp)
             scaled = field.monty_mul(coeffs, gpow_d[:, None], jnp)
@@ -232,7 +270,7 @@ def round_commit_fn(field: Monty31, sig: tuple, log_blowup: int):
                 br=br,
             )
             coeffs_out.append(coeffs)
-            ldes.append(lde)
+            ldes.append(shard(lde))
         # merkle over the LDEs (mixed heights)
         by_height: dict[int, list] = {}
         for l in ldes:
@@ -240,7 +278,7 @@ def round_commit_fn(field: Monty31, sig: tuple, log_blowup: int):
 
         def rows_digest(h):
             rows = jnp.concatenate(by_height[h], axis=1)
-            return sponge_hash(params, rows, 8, 8, jnp)
+            return shard(sponge_hash(params, rows, 8, 8, jnp))
 
         hs = sorted(by_height, reverse=True)
         leaf = rows_digest(hs[0])

@@ -205,6 +205,38 @@ class TwoAdicFriPcs:
         F = self.F
         committed = []
         ldes = []
+        if (
+            self.mesh is not None
+            and self.use_jit
+            and self.fuse_full
+            and not self.hiding_salt_cols
+        ):
+            # fused-mesh path: the device-resident commit (round_commit_fn)
+            # with GSPMD row-sharding constraints — tree layers stay on
+            # device so the whole-prove fusion can gather siblings there
+            from ..ops.jitk import merkle_layer_heights, round_commit_fn
+
+            sig = tuple(
+                (int(shift), evals.shape[0].bit_length() - 1, evals.shape[1])
+                for shift, evals in mats
+            )
+            fn = round_commit_fn(
+                F, sig, self.params.log_blowup, self.mesh, self.mesh_axis
+            )
+            coeffs_t, ldes_t, flat = fn(*[e for _s, e in mats])
+            for (shift, log_n, w), coeffs in zip(sig, coeffs_t):
+                committed.append(CommittedMatrix(shift, log_n, w, coeffs))
+            lb = self.params.log_blowup
+            tree = MerkleTree(
+                matrices=list(ldes_t),
+                dev_flat=flat,
+                layer_heights=merkle_layer_heights(
+                    tuple((1 << (ln + lb), w) for _s, ln, w in sig)
+                ),
+            )
+            return PcsProverData(
+                committed, tree, self.mmcs.cap_commitment(tree)
+            )
         if self.mesh is not None:
             from ..parallel.mesh import mesh_round_commit_fn
 

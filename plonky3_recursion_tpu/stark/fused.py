@@ -16,9 +16,14 @@ gather compose into ONE jitted program.  The host packs inputs, launches
 one program, downloads ONE flat array, and unpacks the proof.  Proofs are
 bit-identical to the staged path (tests/test_fused_prove.py).
 
-Eligible when: use_jit, no mesh, no hiding salts, cap_height == 0,
+Eligible when: use_jit, no hiding salts, cap_height == 0,
 commit_pow_bits == 0, default Poseidon2 W16 challenger.  Everything else
-falls back to the staged path.
+falls back to the staged path.  A configured mesh stays eligible: every
+row-major intermediate (LDEs, digest layers, permutation columns, quotient
+cosets, FRI codewords) carries a row-sharding constraint over the mesh
+axis, so the SAME single program runs GSPMD multi-chip — XLA inserts the
+NTT all_to_alls and Merkle all_gathers (scale-out no longer reintroduces
+the ~20-call staged tunnel cost).
 """
 
 from __future__ import annotations
@@ -184,7 +189,7 @@ def fused_eligible(config, common) -> bool:
         pcs, "fuse_full", False
     ):
         return False
-    if pcs.mesh is not None or pcs.hiding_salt_cols or pcs.cap_height != 0:
+    if pcs.hiding_salt_cols or pcs.cap_height != 0:
         return False
     if pcs.params.commit_pow_bits != 0:
         return False
@@ -355,6 +360,8 @@ def fused_prove_batch(config, instances, common, debug_lookups=False):
         "fused",
         F.name,
         d,
+        pcs.mesh,
+        pcs.mesh_axis,
         getattr(E, "W", 0),
         tuple(
             (
@@ -376,6 +383,9 @@ def fused_prove_batch(config, instances, common, debug_lookups=False):
 
     cached = _FUSED_CACHE.get(key)
     if cached is None:
+        from ..ops.jitk import mesh_row_sharder
+
+        shard = mesh_row_sharder(pcs.mesh, pcs.mesh_axis)
         # ---- device-resident constant tables ----
         consts: dict = {"bind": _dev(bind_arr)}
         # per-commit-round interpolation/LDE tables, keyed by (shift, log_n)
@@ -393,8 +403,8 @@ def fused_prove_batch(config, instances, common, debug_lookups=False):
                 lde_tabs[tk] = (
                     unscale,
                     _dev(_power_table(F, int(F.generator), n)),
-                    _dev_ntt_auto(F, log_n, True),
-                    _dev_ntt_auto(F, log_n + lb, False),
+                    _dev_ntt_auto(F, log_n, True, pcs.mesh is None),
+                    _dev_ntt_auto(F, log_n + lb, False, pcs.mesh is None),
                     _dev_bitrev(n << lb),
                 )
             return tk
@@ -413,8 +423,12 @@ def fused_prove_batch(config, instances, common, debug_lookups=False):
             quot_tabs.append(
                 {
                     "gpow": _dev(_power_table(F, F.generator, n)),
-                    "intt_t": _dev_ntt_auto(F, s.log_n, True),
-                    "ntt_t": _dev_ntt_auto(F, s.log_n + lq, False),
+                    "intt_t": _dev_ntt_auto(
+                        F, s.log_n, True, pcs.mesh is None
+                    ),
+                    "ntt_t": _dev_ntt_auto(
+                        F, s.log_n + lq, False, pcs.mesh is None
+                    ),
                     "sels": {
                         kk: _dev(np.ascontiguousarray(v))
                         for kk, v in sels.items()
@@ -486,7 +500,7 @@ def fused_prove_batch(config, instances, common, debug_lookups=False):
                 shift_, log_n = tk
                 n = 1 << log_n
                 m = n << lb
-                coeffs = intt(F, evals, jnp, tables=intt_t)
+                coeffs = intt(F, shard(evals), jnp, tables=intt_t)
                 if unscale_d is not None:
                     coeffs = F.monty_mul(coeffs, unscale_d[:, None], jnp)
                 scaled = F.monty_mul(coeffs, gpow_d[:, None], jnp)
@@ -498,18 +512,20 @@ def fused_prove_batch(config, instances, common, debug_lookups=False):
                     br=br,
                 )
                 coeffs_out.append(coeffs)
-                ldes.append(lde)
+                ldes.append(shard(lde))
             by_height: dict = {}
             for l in ldes:
                 by_height.setdefault(int(l.shape[0]), []).append(l)
 
             def rows_digest(h):
-                return sponge_hash(
-                    params16,
-                    jnp.concatenate(by_height[h], axis=1),
-                    RATE,
-                    DIGEST,
-                    jnp,
+                return shard(
+                    sponge_hash(
+                        params16,
+                        jnp.concatenate(by_height[h], axis=1),
+                        RATE,
+                        DIGEST,
+                        jnp,
+                    )
                 )
 
             hs = sorted(by_height, reverse=True)
@@ -575,7 +591,7 @@ def fused_prove_batch(config, instances, common, debug_lookups=False):
                 perm, terms = generate_perm_columns(
                     F, E, inst.lookups, tb, n, challenges, jnp
                 )
-                perm_mats.append((i, perm))
+                perm_mats.append((i, shard(perm)))
                 terminals.append((i, terms))
             perm_root = None
             pm_coeffs = pm_ldes = pm_layers = None
@@ -606,11 +622,13 @@ def fused_prove_batch(config, instances, common, debug_lookups=False):
                 def coset_of(coeffs):
                     # coefficients -> evals on the quotient coset g·K_m
                     scaled = F.monty_mul(coeffs, cd["gpow"][:, None], jnp)
-                    return ntt(
-                        F,
-                        jnp.pad(scaled, [(0, m - n), (0, 0)]),
-                        jnp,
-                        tables=cd["ntt_t"],
+                    return shard(
+                        ntt(
+                            F,
+                            jnp.pad(scaled, [(0, m - n), (0, 0)]),
+                            jnp,
+                            tables=cd["ntt_t"],
+                        )
                     )
 
                 # the trace commit already interpolated this matrix
@@ -802,12 +820,14 @@ def fused_prove_batch(config, instances, common, debug_lookups=False):
                     dd_ = E.sub(aa, bb, jnp)
                     even = F.monty_mul(ssum, consts_t["inv2"], jnp)
                     odd = E.mul_base(dd_, consts_t["fold"][ph][t], jnp)
-                    folded = E.add(
-                        even,
-                        E.mul(
-                            odd, jnp.broadcast_to(beta_t, odd.shape), jnp
-                        ),
-                        jnp,
+                    folded = shard(
+                        E.add(
+                            even,
+                            E.mul(
+                                odd, jnp.broadcast_to(beta_t, odd.shape), jnp
+                            ),
+                            jnp,
+                        )
                     )
                     beta_t = E.mul(beta_t, beta_t, jnp)
                 ls -= a

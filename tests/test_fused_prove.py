@@ -138,3 +138,31 @@ def test_fused_recursion_layer_matches_staged():
     layer_s = prove_next_layer(cfg_s, prep, proof)
     _assert_proofs_equal(layer_f, layer_s)
     BatchStarkProver(cfg_f).verify_all_tables(prep.circuit, layer_f, prep.pdata)
+
+
+def test_fused_mesh_matches_host():
+    """Mesh-eligible fusion: the whole prove as ONE GSPMD program over an
+    8-device mesh, bit-identical to the single-host staged path (VERDICT
+    round-4 weak #4 — scale-out and fusion hold at the same time)."""
+    from plonky3_recursion_tpu.fields import ext_field
+    from plonky3_recursion_tpu.parallel.mesh import make_mesh
+    from plonky3_recursion_tpu.stark.fri_pcs import TwoAdicFriPcs
+    from plonky3_recursion_tpu.stark.uni import StarkConfig
+
+    E4 = ext_field(KOALA_BEAR, 4)
+    circuit, pubs = _fib_circuit(32)
+    mesh = make_mesh(8)
+    cfg_m = StarkConfig(
+        KOALA_BEAR,
+        E4,
+        TwoAdicFriPcs(
+            KOALA_BEAR, E4, FriParams.testing(), use_jit=True, mesh=mesh
+        ),
+    )
+    cfg_s = koala_bear_config(FriParams.testing())  # host numpy path
+    pdata_m = circuit_prover_data(cfg_m, circuit)
+    pdata_s = circuit_prover_data(cfg_s, circuit)
+    proof_m = _prove(cfg_m, circuit, pubs, pdata_m)
+    proof_s = _prove(cfg_s, circuit, pubs, pdata_s)
+    _assert_proofs_equal(proof_m, proof_s)
+    BatchStarkProver(cfg_s).verify_all_tables(circuit, proof_m, pdata_s)

@@ -74,3 +74,57 @@ def test_keccak_batch_proof(rng):
     common = commit_preprocessed(config, [inst])
     proof = prove_batch(config, [inst], common)
     assert verify_batch(config, [(KeccakAir(), [])], proof, common)
+
+
+@pytest.mark.slow
+def test_keccak_recursion_layer(rng):
+    """One full keccak recursion layer: prove Keccak-f[1600] (n=1) as a
+    batch-stark proof, verify it IN-CIRCUIT (batch verifier over the
+    symbolic KeccakAir constraints), prove the layer, verify natively,
+    and reject a tampered inner commitment — the
+    `recursive_keccak.rs` flagship flow (BASELINE.md keccak rows)."""
+    from plonky3_recursion_tpu.circuit import WitnessConflict
+    from plonky3_recursion_tpu.prover import (
+        BatchStarkProver,
+        circuit_prover_data,
+    )
+    from plonky3_recursion_tpu.recursion.batch_verifier import (
+        build_batch_verifier_circuit,
+    )
+
+    config = make_test_config()
+    states = [[[0] * 5 for _ in range(5)]]
+    trace = keccak_f_trace(states)
+    prep = keccak_preprocessed(1, trace.shape[0])
+    inst = StarkInstance(KeccakAir(), trace, [], preprocessed=prep)
+    common = commit_preprocessed(config, [inst])
+    proof = prove_batch(config, [inst], common)
+    assert verify_batch(config, [(KeccakAir(), [])], proof, common)
+
+    vcr = build_batch_verifier_circuit(
+        config, [(KeccakAir(), [])], proof.shapes, common
+    )
+    circuit = vcr.builder.build()
+    pdata = circuit_prover_data(config, circuit)
+
+    def run_layer(p):
+        runner = circuit.runner()
+        runner.set_public_inputs(vcr.pack_public_inputs(p))
+        runner.set_private_inputs(vcr.pack_private_inputs(p))
+        for key, data in vcr.pack_npo_private(p).items():
+            runner.set_private_data(key, data)
+        return runner.run()
+
+    traces = run_layer(proof)
+    prover = BatchStarkProver(config)
+    layer = prover.prove_all_tables(circuit, traces, pdata)
+    assert prover.verify_all_tables(circuit, layer, pdata)
+
+    # tampered inner trace commitment must not satisfy the layer circuit
+    import copy
+
+    bad = copy.deepcopy(proof)
+    bad.trace_commit = np.asarray(bad.trace_commit).copy()
+    bad.trace_commit[0] = (int(bad.trace_commit[0]) + 1) % config.field.P
+    with pytest.raises((WitnessConflict, ValueError)):
+        run_layer(bad)
