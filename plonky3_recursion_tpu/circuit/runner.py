@@ -47,6 +47,9 @@ class Traces:
     witness: np.ndarray  # (witness_count, D) canonical
     npo_records: dict = dataclasses.field(default_factory=dict)
     # npo_records[type_id][op_id] = executor record (e.g. input state)
+    # npo_arrays[type_id] = {"states", "bits", "sums", "bits2"} in
+    # call-list order (chained plugins; array form of npo_records)
+    npo_arrays: dict = dataclasses.field(default_factory=dict)
 
     def value(self, wid: int) -> np.ndarray:
         return self.witness[wid]
@@ -96,6 +99,9 @@ class _ExecPlan:
         # index per type_id (filled lazily by the first runner)
         self.chained_static: dict = {}
         self.chain_index: dict = {}
+        self.chained_slots: dict = {}  # type_id -> {op_id: call-list pos}
+        self.chained_counts: dict = {}
+        self.chain_perm: dict = {}  # type_id -> chain-order permutation
         # native executor: level-sorted flat row arrays (C++ hot loop).
         # Binomial extensions only — trinomial (quintic) circuits fall
         # back to the vectorized numpy path.
@@ -147,6 +153,7 @@ class CircuitRunner:
         self.wit = np.zeros((circuit.witness_count,) + cell, dtype=U32)
         self.defined = np.zeros(circuit.witness_count, dtype=bool)
         self.npo_private: dict = {}
+        self.npo_arrays: dict = {}
         plan = _exec_plan(circuit)
         self.groups_by_level = plan.groups_by_level
         self.hints_by_level = plan.hints_by_level
@@ -335,7 +342,10 @@ class CircuitRunner:
                 f"{undef.size} witnesses undefined, first {undef[:5]}"
             )
         return Traces(
-            circuit=self.c, witness=self.wit, npo_records=self.npo_records
+            circuit=self.c,
+            witness=self.wit,
+            npo_records=self.npo_records,
+            npo_arrays=self.npo_arrays,
         )
 
     def _run_native(self, levels: list):
@@ -481,7 +491,20 @@ class CircuitRunner:
                 sum_outs[i] = c.sum_out
         in_r, in_l = np.nonzero(in_wids >= 0)
         out_r, out_l = np.nonzero(out_wids >= 0)
+        # position of each call within the plugin's full circuit-order
+        # call list (for array-form records)
+        base = plan.chained_slots.setdefault(plugin.type_id, {})
+        if not base:
+            pos = 0
+            for call in self.c.npo_calls:
+                if call.plugin.type_id == plugin.type_id:
+                    base[call.op_id] = pos
+                    pos += 1
+            plan.chained_counts[plugin.type_id] = pos
         st = {
+            "slots": np.asarray(
+                [base[c.op_id] for c in cs], dtype=np.int64
+            ),
             "n_chains": len(cidx),
             "n_limbs": n_limbs,
             "new_start": new_start,
@@ -608,15 +631,27 @@ class CircuitRunner:
         chain_arr[ids] = outs
         chain_sums[ids] = sums
         chain_valid[ids] = True
+        # array-form records in call-list order (consumed wholesale by the
+        # device table builders), plus the per-op dict (numpy scalars —
+        # int() conversion deferred to consumers that need python ints)
+        arrs = self.npo_arrays.get(plugin.type_id)
+        if arrs is None:
+            n_all = _exec_plan(self.c).chained_counts[plugin.type_id]
+            arrs = self.npo_arrays[plugin.type_id] = {
+                "states": np.zeros((n_all, width) + tail, dtype=U32),
+                "bits": np.zeros(n_all, dtype=np.int64),
+                "sums": np.zeros(n_all, dtype=np.int64),
+                "bits2": np.zeros(n_all, dtype=np.int64),
+            }
+        slots = s["slots"]
+        arrs["states"][slots] = states
+        arrs["bits"][slots] = bits
+        arrs["sums"][slots] = sums
+        arrs["bits2"][slots] = bits2
         recs = self.npo_records.setdefault(plugin.type_id, {})
         op_ids = s["op_ids"]
         for i in range(k):
-            recs[op_ids[i]] = (
-                states[i],
-                int(bits[i]),
-                int(sums[i]),
-                int(bits2[i]),
-            )
+            recs[op_ids[i]] = (states[i], bits[i], sums[i], bits2[i])
 
     def _run_npos(self, calls: list):
         """Execute a level's NPO calls; plugins exposing execute_batch run

@@ -133,6 +133,55 @@ def build_preprocessed(
     return tuple(preps)
 
 
+_SPLIT_FN_CACHE: dict = {}
+
+
+def _chain_perm(circuit: Circuit, plugin, calls) -> np.ndarray:
+    """Chain-order permutation of a chained plugin's call list (static per
+    circuit; cached on the exec plan)."""
+    from ..circuit.runner import _exec_plan
+
+    plan = _exec_plan(circuit)
+    perm = plan.chain_perm.get(plugin.type_id)
+    if perm is None:
+        from .poseidon2_table import chain_order
+
+        pos = {c.op_id: i for i, c in enumerate(calls)}
+        perm = np.asarray(
+            [pos[c.op_id] for c in chain_order(calls)], dtype=np.int64
+        )
+        plan.chain_perm[plugin.type_id] = perm
+    return perm
+
+
+def _packed_upload(pieces: list):
+    """ONE host->device transfer for every per-prove host array: the
+    pieces concatenate flat (u32), upload once, and a tiny jitted split
+    (cached per shape signature) returns the device-resident views.
+    Per-transfer tunnel latency (~25 ms through the remote relay)
+    otherwise multiplies by the number of tables."""
+    import jax
+    import jax.numpy as jnp
+
+    sig = tuple(p.shape for p in pieces)
+    fn = _SPLIT_FN_CACHE.get(sig)
+    if fn is None:
+
+        def split(flat):
+            outs, off = [], 0
+            for shp in sig:
+                size = int(np.prod(shp)) if shp else 1
+                outs.append(flat[off : off + size].reshape(shp))
+                off += size
+            return tuple(outs)
+
+        fn = _SPLIT_FN_CACHE[sig] = jax.jit(split)
+    flat = np.concatenate(
+        [np.ascontiguousarray(p, dtype=U32).reshape(-1) for p in pieces]
+    ) if pieces else np.zeros((0,), dtype=U32)
+    return fn(jnp.asarray(flat))
+
+
 def build_main_tables(
     circuit: Circuit,
     traces,
@@ -159,19 +208,51 @@ def build_main_tables(
         _lane_pack(pm, packing.public_lanes, min_height),
         _lane_pack(am, packing.alu_lanes, min_height),
     ]
+    if not device:
+        for plugin, calls in _npo_groups(circuit):
+            recs = traces.npo_records.get(plugin.type_id, {})
+            records = [recs[call.op_id] for call in calls]
+            mains.append(plugin.build_main(calls, records, min_height))
+        return tuple(mains)
+    # device path: every host-built array (primitive mains, NPO host
+    # mains, and the device-table builders' input payloads) rides ONE
+    # packed upload; the big NPO tables are then built on device from the
+    # tiny per-call payloads
+    pieces = list(mains)  # [const, public, alu]
+    jobs = []  # (kind, plugin, calls, records, n_pieces)
     for plugin, calls in _npo_groups(circuit):
+        arrays = traces.npo_arrays.get(plugin.type_id)
+        if arrays is not None and hasattr(plugin, "payload_from_arrays"):
+            # array-form records: vectorized payload, no per-op python
+            payload = plugin.payload_from_arrays(
+                arrays, _chain_perm(circuit, plugin, calls)
+            )
+            pieces.extend(payload)
+            jobs.append(("dev", plugin, calls, None, len(payload)))
+            continue
         recs = traces.npo_records.get(plugin.type_id, {})
         records = [recs[call.op_id] for call in calls]
-        if device and hasattr(plugin, "build_main_device"):
-            # build the (large) table ON DEVICE from the tiny per-call
-            # records — uploads ~(n, width) states instead of the full
-            # (n·rows_per_perm, main_width) trace through the interconnect
-            mains.append(
-                plugin.build_main_device(calls, records, min_height)
+        if hasattr(plugin, "device_payload"):
+            payload = plugin.device_payload(calls, records)
+            pieces.extend(payload)
+            jobs.append(("dev", plugin, calls, records, len(payload)))
+        else:
+            pieces.append(plugin.build_main(calls, records, min_height))
+            jobs.append(("host", plugin, calls, records, 1))
+    dev = list(_packed_upload(pieces))
+    out = dev[:3]
+    pos = 3
+    for kind, plugin, calls, records, n in jobs:
+        if kind == "dev":
+            out.append(
+                plugin.build_main_device(
+                    calls, records, min_height, payload=tuple(dev[pos : pos + n])
+                )
             )
         else:
-            mains.append(plugin.build_main(calls, records, min_height))
-    return tuple(mains)
+            out.append(dev[pos])
+        pos += n
+    return tuple(out)
 
 
 @dataclasses.dataclass

@@ -640,17 +640,52 @@ def _device_table_fn(npo: Poseidon2Npo, n_perms: int, min_height: int):
 _DEVICE_TABLE_CACHE: dict = {}
 
 
-def _poseidon2_build_main_device(self, calls, records, min_height: int):
-    """Device-resident `build_main` (bit-identical; see _device_table_fn)."""
+def _poseidon2_device_payload(self, calls, records):
+    """Host arrays the device table builder consumes: (input states,
+    extras) in chain order.  Rides the prover's single packed upload."""
     if not records:
-        return self.build_main(calls, records, min_height)
+        return ()
     ordered = chain_order(calls)
     rec_by_op = {c.op_id: r for c, r in zip(calls, records)}
     recs = [rec_by_op[c.op_id] for c in ordered]
     states = np.stack([r[0] for r in recs]).astype(U32)
-    return _device_table_fn(self, len(recs), min_height)(
-        states, self._extras(recs)
+    return (states, self._extras(recs))
+
+
+def _poseidon2_payload_from_arrays(self, arrays, perm):
+    """`device_payload` from the runner's array-form records: pure
+    vectorized gathers (no per-op python)."""
+    F = self.params.field
+    states = arrays["states"][perm].astype(U32)
+    n = states.shape[0]
+    n_extra = 4 if self.L.arity4 else 2
+    extra = np.zeros((n, n_extra), dtype=U32)
+    extra[:, -1] = (arrays["sums"][perm] % F.P).astype(U32)
+    bits = arrays["bits"][perm].astype(U32)
+    extra[:, 0] = bits
+    if self.L.arity4:
+        bit2 = arrays["bits2"][perm].astype(U32)
+        extra[:, 1] = bit2
+        extra[:, 2] = bits * bit2
+    return (states, extra)
+
+
+def _poseidon2_build_main_device(
+    self, calls, records, min_height: int, payload=None
+):
+    """Device-resident `build_main` (bit-identical; see _device_table_fn).
+    payload: the device-resident (states, extras) pair from
+    `device_payload`/`payload_from_arrays` (host arrays accepted too)."""
+    if payload is None:
+        if not records:
+            return self.build_main(calls, records, min_height)
+        payload = _poseidon2_device_payload(self, calls, records)
+    states, extras = payload
+    return _device_table_fn(self, int(states.shape[0]), min_height)(
+        states, extras
     )
 
 
+Poseidon2Npo.device_payload = _poseidon2_device_payload
+Poseidon2Npo.payload_from_arrays = _poseidon2_payload_from_arrays
 Poseidon2Npo.build_main_device = _poseidon2_build_main_device
