@@ -141,6 +141,313 @@ def _exec_plan(circuit: Circuit) -> _ExecPlan:
     return plan
 
 
+class _NativeSchedule:
+    """Whole-circuit native execution plan: the full interleaved level
+    schedule (ALU ranges, chained perm levels, decompose hints, recompose,
+    packed Horner) flattened into arrays for ONE C++ walk per span
+    (`p3n_run_schedule`).  Levels with content C++ can't run (generic
+    hints, unknown plugins, Poseidon1 chains) become python pause items.
+    Built once per circuit and cached on the exec plan."""
+
+    def __init__(self, circuit: Circuit, plan: _ExecPlan):
+        d = circuit.ext.D
+        self.d = d
+        levels_arr = plan.flat[0]
+        segs: list = []  # (type, start, end, aux)
+        self.program: list = []  # ("cxx", lo, hi) | ("hints", l) | ("npos", l)
+        # --- chained plugin slots (plugins with a native permutation) ---
+        self.perm_plugins: list = []
+        perm_slot: dict = {}
+        self.chain_base: dict = {}
+        self.slot_base: dict = {}
+        chain_total = 0
+        slot_total = 0
+        # flattened per-call arrays, appended in schedule order
+        cflags: list = []
+        chain_ids: list = []
+        in_w: list = []
+        out_w: list = []
+        sum_o: list = []
+        cslots: list = []
+        self.ctags: list = []
+        self.cmerkle: list = []
+        # hints
+        eh_in: list = []
+        eh_out: list = []
+        bh_in: list = []
+        bh_meta: list = []
+        bh_out: list = []
+        # recompose / horner
+        rc_in: list = []
+        rc_out: list = []
+        rc_slots: list = []
+        self.rc_plugin = None
+        rc_pos: dict = {}
+        h_in: list = []
+        h_out: list = []
+        h_slots: list = []
+        self.h_plugin = None
+        self.h_k = 0
+        h_pos: dict = {}
+
+        self._cxx_lo = 0
+
+        def cxx_seg(t, s, e, aux=0):
+            # merge contiguous same-type segments (same aux) — EXCEPT
+            # chained-perm levels (type 1): a level's states batch-read
+            # chain state before the permute, so levels must stay separate
+            if (
+                t != 1
+                and segs
+                and segs[-1][0] == t
+                and segs[-1][2] == s
+                and segs[-1][3] == aux
+            ):
+                segs[-1] = (t, segs[-1][1], e, aux)
+            else:
+                segs.append((t, s, e, aux))
+
+        def pause(item):
+            if len(segs) > self._cxx_lo:
+                self.program.append(("cxx", self._cxx_lo, len(segs)))
+                self._cxx_lo = len(segs)
+            self.program.append(item)
+
+        pos = 0
+        for lvl in plan.levels:
+            # hints first (python order: hints -> alu -> npos)
+            hints = plan.hints_by_level.get(lvl, [])
+            py_hints = []
+            for h in hints:
+                if h.kind == "ext_decompose":
+                    cxx_seg(2, len(eh_in), len(eh_in) + 1)
+                    eh_in.append(h.inputs[0])
+                    eh_out.extend(h.outputs)
+                elif h.kind == "bit_decompose":
+                    cxx_seg(3, len(bh_in), len(bh_in) + 1)
+                    bh_in.append(h.inputs[0])
+                    bh_meta.append(h.meta)
+                    bh_out.append(list(h.outputs))
+                else:
+                    py_hints.append(h)
+            if py_hints:
+                pause(("hints", py_hints))
+            # ALU rows of this level
+            end = pos + int(
+                np.searchsorted(levels_arr[pos:], lvl, side="right")
+            )
+            if end > pos:
+                cxx_seg(0, pos, end)
+                pos = end
+            # NPO groups of this level
+            npos = plan.npos_by_level.get(lvl, [])
+            by_plugin: dict = {}
+            for c in npos:
+                by_plugin.setdefault(c.plugin.type_id, []).append(c)
+            for tid, cs in by_plugin.items():
+                plugin = cs[0].plugin
+                if getattr(plugin, "chained", False):
+                    native = plugin._native_perm() if hasattr(
+                        plugin, "_native_perm"
+                    ) else None
+                    if native is None:
+                        pause(("npos", cs))
+                        continue
+                    if tid not in perm_slot:
+                        perm_slot[tid] = len(self.perm_plugins)
+                        self.perm_plugins.append((plugin, native))
+                        cidx = plan.chain_index.get(tid)
+                        if cidx is None:
+                            # force chain index construction
+                            cidx = {}
+                            for call in circuit.npo_calls:
+                                if call.plugin.type_id == tid:
+                                    cidx.setdefault(call.chain, len(cidx))
+                            plan.chain_index[tid] = cidx
+                        self.chain_base[tid] = chain_total
+                        chain_total += len(cidx)
+                        base = plan.chained_slots.get(tid)
+                        if not base:
+                            base = {}
+                            p2 = 0
+                            for call in circuit.npo_calls:
+                                if call.plugin.type_id == tid:
+                                    base[call.op_id] = p2
+                                    p2 += 1
+                            plan.chained_slots[tid] = base
+                            plan.chained_counts[tid] = p2
+                        self.slot_base[tid] = slot_total
+                        slot_total += plan.chained_counts[tid]
+                    slot = perm_slot[tid]
+                    width = plugin.params.width
+                    n_limbs = width // d
+                    cidx = plan.chain_index[tid]
+                    sbase = plan.chained_slots[tid]
+                    s0 = len(cflags)
+                    for c in cs:
+                        fl = (
+                            (1 if c.new_start else 0)
+                            | (2 if c.merkle_path else 0)
+                            | (
+                                4
+                                if c.merkle_path
+                                and getattr(c, "merkle_arity", 2) == 4
+                                else 0
+                            )
+                        )
+                        cflags.append(fl)
+                        chain_ids.append(
+                            self.chain_base[tid] + cidx[c.chain]
+                        )
+                        iw = [-1] * n_limbs
+                        ow = [-1] * n_limbs
+                        for l, wid in enumerate(c.inputs):
+                            if wid is not None:
+                                iw[l] = wid
+                        for l, wid in enumerate(c.outputs):
+                            if wid is not None:
+                                ow[l] = wid
+                        in_w.append(iw)
+                        out_w.append(ow)
+                        sum_o.append(
+                            -1 if c.sum_out is None else c.sum_out
+                        )
+                        cslots.append(
+                            self.slot_base[tid] + sbase[c.op_id]
+                        )
+                        self.ctags.append(c.tag)
+                        self.cmerkle.append(bool(c.merkle_path))
+                    cxx_seg(1, s0, len(cflags), slot)
+                elif (
+                    tid.startswith("recompose/")
+                    and hasattr(plugin, "execute_batch")
+                    and all(
+                        len(c.inputs) == d
+                        and None not in c.inputs
+                        and len(c.outputs) == 1
+                        for c in cs
+                    )
+                    and (self.rc_plugin is None or plugin is self.rc_plugin)
+                ):
+                    self.rc_plugin = plugin
+                    s0 = len(rc_in)
+                    for c in cs:
+                        rc_in.append(list(c.inputs))
+                        rc_out.append(c.outputs[0])
+                        rc_slots.append(
+                            rc_pos.setdefault(c.op_id, len(rc_pos))
+                        )
+                    cxx_seg(4, s0, len(rc_in))
+                elif (
+                    tid.startswith("horner/")
+                    and hasattr(plugin, "execute_batch")
+                    and all(
+                        None not in c.inputs and len(c.outputs) == 1
+                        for c in cs
+                    )
+                    and (self.h_plugin is None or plugin is self.h_plugin)
+                ):
+                    self.h_plugin = plugin
+                    self.h_k = plugin.k
+                    s0 = len(h_in)
+                    for c in cs:
+                        h_in.append(list(c.inputs))
+                        h_out.append(c.outputs[0])
+                        h_slots.append(
+                            h_pos.setdefault(c.op_id, len(h_pos))
+                        )
+                    cxx_seg(5, s0, len(h_in), plugin.k)
+                else:
+                    pause(("npos", cs))
+        if len(segs) > self._cxx_lo:
+            self.program.append(("cxx", self._cxx_lo, len(segs)))
+        self.segs = np.ascontiguousarray(
+            np.asarray(segs, dtype=np.int64).reshape(-1, 4)
+        )
+        self.n_chained = len(cflags)
+        self.max_limbs = max(
+            (w // d for (p_, n_) in self.perm_plugins for w in
+             [p_.params.width]),
+            default=1,
+        )
+        self.max_width = max(
+            (p_.params.width for (p_, n_) in self.perm_plugins), default=1
+        )
+        self.chain_total = chain_total
+
+        def arr(x, dtype, shape2=None):
+            a = np.asarray(x, dtype=dtype)
+            if a.size == 0:
+                a = np.zeros((0,) if shape2 is None else (0, shape2), dtype)
+            return np.ascontiguousarray(a)
+
+        self.cflags = arr(cflags, np.uint8)
+        self.chain_ids = arr(chain_ids, np.int32)
+        iw_m = np.full((len(in_w), self.max_limbs), -1, dtype=np.int32)
+        ow_m = np.full((len(out_w), self.max_limbs), -1, dtype=np.int32)
+        for i, row in enumerate(in_w):
+            iw_m[i, : len(row)] = row
+        for i, row in enumerate(out_w):
+            ow_m[i, : len(row)] = row
+        self.in_wids = iw_m
+        self.out_wids = ow_m
+        self.sum_outs = arr(sum_o, np.int32)
+        self.cslots = arr(cslots, np.int32)
+        self.eh_in = arr(eh_in, np.int32)
+        self.eh_out = arr(np.asarray(eh_out, np.int32).reshape(-1, d)
+                          if eh_out else np.zeros((0, d)), np.int32)
+        self.bh_in = arr(bh_in, np.int32)
+        self.bh_meta = arr(bh_meta, np.int32)
+        flat_bh = [w for outs in bh_out for w in outs]
+        self.bh_out = arr(flat_bh, np.int32)
+        offs = [0]
+        for outs in bh_out:
+            offs.append(offs[-1] + len(outs))
+        self.bh_off = arr(offs[:-1], np.int64)
+        self.rc_in = arr(rc_in, np.int32, d)
+        self.rc_out = arr(rc_out, np.int32)
+        self.rc_slots = arr(rc_slots, np.int32)
+        self.h_in = arr(h_in, np.int32, 2 + self.h_k)
+        self.h_out = arr(h_out, np.int32)
+        self.h_slots = arr(h_slots, np.int32)
+        self.rc_pos = rc_pos
+        self.h_pos = h_pos
+        self.cmerkle_idx = np.nonzero(
+            np.asarray(self.cmerkle, dtype=bool)
+        )[0]
+
+
+class _LazyRecords(dict):
+    """Per-op record dict materialized on first access (the device path
+    consumes the array form and never pays the per-op build)."""
+
+    def __init__(self, fill):
+        super().__init__()
+        self._fill = fill
+        self._done = False
+
+    def _ensure(self):
+        if not self._done:
+            self._done = True
+            self._fill(self)
+
+    def __getitem__(self, k):
+        self._ensure()
+        return dict.__getitem__(self, k)
+
+    def get(self, k, default=None):
+        self._ensure()
+        return dict.get(self, k, default)
+
+    def __len__(self):
+        self._ensure()
+        return dict.__len__(self)
+
+    def __iter__(self):
+        self._ensure()
+        return dict.__iter__(self)
+
+
 class CircuitRunner:
     def __init__(self, circuit: Circuit):
         self.c = circuit
@@ -290,7 +597,11 @@ class CircuitRunner:
                 raise MissingInput("public inputs not set")
         levels = self._levels
         if self._native is not None:
-            self._run_native(levels)
+            plan = _exec_plan(c)
+            ns = getattr(plan, "native_schedule", None)
+            if ns is None:
+                ns = plan.native_schedule = _NativeSchedule(c, plan)
+            self._run_native_schedule(ns)
             return self._finish()
         for lvl in levels:
             self._run_hints(self.hints_by_level.get(lvl, []))
@@ -347,6 +658,145 @@ class CircuitRunner:
             npo_records=self.npo_records,
             npo_arrays=self.npo_arrays,
         )
+
+    def _run_native_schedule(self, ns: "_NativeSchedule"):
+        """Drive the C++ whole-schedule executor: one native call per
+        contiguous C++-able span, python pauses only for generic hints /
+        non-native plugins."""
+        from ..native import run_schedule
+
+        c = self.c
+        d = c.ext.D
+        E = c.ext
+        plan = _exec_plan(c)
+        n_ch = ns.n_chained
+        chain_states = np.zeros(
+            (max(ns.chain_total, 1), ns.max_width), dtype=U32
+        )
+        chain_sums = np.zeros(max(ns.chain_total, 1), dtype=np.int64)
+        chain_valid = np.zeros(max(ns.chain_total, 1), dtype=np.uint8)
+        rec_states = np.zeros((max(n_ch, 1), ns.max_width), dtype=U32)
+        rec_bits = np.zeros(max(n_ch, 1), dtype=np.uint8)
+        rec_sums = np.zeros(max(n_ch, 1), dtype=np.int64)
+        rec_bits2 = np.zeros(max(n_ch, 1), dtype=np.uint8)
+        priv_bits = np.zeros(max(n_ch, 1), dtype=np.uint8)
+        priv_bits2 = np.zeros(max(n_ch, 1), dtype=np.uint8)
+        priv_sibs = np.zeros((max(n_ch, 1), 24), dtype=U32)
+        sib_lens = np.zeros(max(n_ch, 1), dtype=np.uint8)
+        for i in ns.cmerkle_idx:
+            tag = ns.ctags[i]
+            priv = self.npo_private.get(tag) if tag is not None else None
+            if priv is None:
+                continue
+            if "bits" in priv:  # arity 4
+                b_, b2_ = priv["bits"]
+                priv_bits[i] = int(b_)
+                priv_bits2[i] = int(b2_)
+                sib = np.asarray(
+                    priv.get("siblings"), dtype=U32
+                ).reshape(-1)
+                priv_sibs[i, : sib.size] = sib
+            else:
+                priv_bits[i] = int(priv.get("bit", 0))
+                sib = priv.get("sibling")
+                if sib is not None:
+                    sib = np.asarray(sib, dtype=U32).reshape(-1)
+                    priv_sibs[i, : sib.size] = sib
+                    sib_lens[i] = sib.size
+        rc_rec = np.zeros((max(len(ns.rc_out), 1), d), dtype=U32)
+        h_rec = np.zeros(
+            (max(len(ns.h_out), 1), (2 + ns.h_k) * d), dtype=U32
+        )
+        F = E.base
+        w_binomial = E.W if E.D > 1 else 0
+        defined_u8 = self.defined.view(np.uint8)
+        perm_handles = [n_.handle for (_p, n_) in ns.perm_plugins]
+        perm_widths = [p_.params.width for (p_, _n) in ns.perm_plugins]
+        for item in ns.program:
+            if item[0] == "cxx":
+                ret = run_schedule(
+                    F,
+                    int(w_binomial),
+                    d,
+                    self.wit,
+                    defined_u8,
+                    plan.flat,
+                    ns,
+                    item[1],
+                    item[2],
+                    perm_handles,
+                    perm_widths,
+                    priv_bits,
+                    priv_bits2,
+                    priv_sibs,
+                    sib_lens,
+                    chain_states,
+                    chain_sums,
+                    chain_valid,
+                    rec_states,
+                    rec_bits,
+                    rec_sums,
+                    rec_bits2,
+                    rc_rec,
+                    h_rec,
+                )
+                if ret >= 0:
+                    t, idx = ret >> 48, ret & ((1 << 48) - 1)
+                    kinds = {
+                        0: "alu row",
+                        1: "chained perm call",
+                        2: "ext_decompose hint",
+                        3: "bit_decompose hint",
+                        4: "recompose call",
+                        5: "horner call",
+                    }
+                    raise WitnessConflict(
+                        f"native schedule failed at {kinds[t]} {idx}"
+                    )
+            elif item[0] == "hints":
+                self._run_hints(item[1])
+            else:
+                self._run_npos(item[1])
+        # ---- publish records (array form + lazy per-op dicts) ----
+        for plugin, _native in ns.perm_plugins:
+            tid = plugin.type_id
+            base = ns.slot_base[tid]
+            n = plan.chained_counts[tid]
+            width = plugin.params.width
+            arrs = {
+                "states": rec_states[base : base + n, :width],
+                "bits": rec_bits[base : base + n].astype(np.int64),
+                "sums": rec_sums[base : base + n],
+                "bits2": rec_bits2[base : base + n].astype(np.int64),
+            }
+            self.npo_arrays[tid] = arrs
+            sbase = plan.chained_slots[tid]
+
+            def fill_chained(recs, tid=tid, arrs=arrs, sbase=sbase):
+                for call in self.c.npo_calls:
+                    if call.plugin.type_id != tid:
+                        continue
+                    sl = sbase[call.op_id]
+                    recs[call.op_id] = (
+                        arrs["states"][sl],
+                        arrs["bits"][sl],
+                        arrs["sums"][sl],
+                        arrs["bits2"][sl],
+                    )
+
+            self.npo_records[tid] = _LazyRecords(fill_chained)
+        if ns.rc_plugin is not None and len(ns.rc_out):
+            def fill_rc(recs):
+                for op_id, sl in ns.rc_pos.items():
+                    recs[op_id] = rc_rec[sl]
+
+            self.npo_records[ns.rc_plugin.type_id] = _LazyRecords(fill_rc)
+        if ns.h_plugin is not None and len(ns.h_out):
+            def fill_h(recs):
+                for op_id, sl in ns.h_pos.items():
+                    recs[op_id] = h_rec[sl]
+
+            self.npo_records[ns.h_plugin.type_id] = _LazyRecords(fill_h)
 
     def _run_native(self, levels: list):
         """C++ ALU execution in level-ordered segments, pausing at levels

@@ -118,8 +118,128 @@ def get_lib():
         i32p,
         ctypes.c_int64,
     ]
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    vpp = ctypes.POINTER(ctypes.c_void_p)
+    lib.p3n_run_schedule.restype = ctypes.c_int64
+    lib.p3n_run_schedule.argtypes = (
+        [ctypes.c_uint32] * 4
+        + [ctypes.c_int]  # d
+        + [u32p, u8p]  # wit, defined
+        + [u8p, u8p, i32p, i32p, i32p, i32p]  # alu
+        + [i64p, ctypes.c_int64]  # segs
+        + [vpp, i32p, ctypes.c_int]  # perms
+        + [u8p, i32p, i32p, i32p, i32p, i32p, ctypes.c_int]  # chained
+        + [u8p, u8p, u32p, u8p]  # priv
+        + [u32p, i64p, u8p, ctypes.c_int]  # chain state, max_width
+        + [u32p, u8p, i64p, u8p]  # records
+        + [i32p, i32p]  # ext hints
+        + [i32p, i32p, i32p, i64p]  # bit hints
+        + [i32p, i32p, i32p, u32p]  # recompose
+        + [i32p, i32p, i32p, u32p]  # horner
+    )
     _lib = lib
     return lib
+
+
+def run_schedule(
+    field,
+    ext_w,
+    d,
+    wit,
+    defined,
+    flat,
+    ns,
+    seg_lo,
+    seg_hi,
+    perm_handles,
+    perm_widths,
+    priv_bits,
+    priv_bits2,
+    priv_sibs,
+    sib_lens,
+    chain_states,
+    chain_sums,
+    chain_valid,
+    rec_states,
+    rec_bits,
+    rec_sums,
+    rec_bits2,
+    rc_rec,
+    h_rec,
+):
+    """Run segments [seg_lo, seg_hi) of a `_NativeSchedule` natively.
+    Returns -1 on success or (type<<48)|index of the failing unit."""
+    import ctypes as ct
+
+    lib = get_lib()
+    u32 = ct.POINTER(ct.c_uint32)
+    u8 = ct.POINTER(ct.c_uint8)
+    i32 = ct.POINTER(ct.c_int32)
+    i64 = ct.POINTER(ct.c_int64)
+
+    def p(a, t):
+        return a.ctypes.data_as(t)
+
+    handles = (ct.c_void_p * max(len(perm_handles), 1))(
+        *[ct.c_void_p(h) for h in perm_handles]
+    )
+    widths = np.asarray(perm_widths or [0], dtype=np.int32)
+    _levels, kinds, solves, a, b, c, out = flat
+    segs = ns.segs[seg_lo:seg_hi]
+    segs = np.ascontiguousarray(segs, dtype=np.int64)
+    return lib.p3n_run_schedule(
+        field.P,
+        field.NP,
+        field.R2,
+        ext_w,
+        d,
+        p(wit, u32),
+        p(defined, u8),
+        p(kinds, u8),
+        p(solves, u8),
+        p(a, i32),
+        p(b, i32),
+        p(c, i32),
+        p(out, i32),
+        p(segs, i64),
+        segs.shape[0],
+        handles,
+        p(widths, i32),
+        len(perm_handles),
+        p(ns.cflags, u8),
+        p(ns.chain_ids, i32),
+        p(ns.in_wids, i32),
+        p(ns.out_wids, i32),
+        p(ns.sum_outs, i32),
+        p(ns.cslots, i32),
+        ns.max_limbs,
+        p(priv_bits, u8),
+        p(priv_bits2, u8),
+        p(priv_sibs, u32),
+        p(sib_lens, u8),
+        p(chain_states, u32),
+        p(chain_sums, i64),
+        p(chain_valid, u8),
+        ns.max_width,
+        p(rec_states, u32),
+        p(rec_bits, u8),
+        p(rec_sums, i64),
+        p(rec_bits2, u8),
+        p(ns.eh_in, i32),
+        p(ns.eh_out, i32),
+        p(ns.bh_in, i32),
+        p(ns.bh_meta, i32),
+        p(ns.bh_out, i32),
+        p(ns.bh_off, i64),
+        p(ns.rc_in, i32),
+        p(ns.rc_out, i32),
+        p(ns.rc_slots, i32),
+        p(rc_rec, u32),
+        p(ns.h_in, i32),
+        p(ns.h_out, i32),
+        p(ns.h_slots, i32),
+        p(h_rec, u32),
+    )
 
 
 def execute_alu_rows(field, ext_w, d, wit, defined, kinds, solves, a, b, c, out):

@@ -483,4 +483,226 @@ int64_t p3n_execute_alu(uint32_t p, uint32_t np_, uint32_t r2, uint32_t w,
   return -1;
 }
 
+// ----- full witness-generation schedule executor -----
+//
+// Executes the ENTIRE interleaved level schedule of a circuit natively:
+// ALU row ranges, chained Poseidon2/Poseidon1 permutation levels (sponge /
+// Merkle chaining + CTL input placement + index-sum accumulators),
+// ext/bit-decompose hints, recompose packing and packed-Horner NPOs.
+// One ctypes call replaces the per-level python dispatch that dominated
+// witness generation for recursion-sized circuits (the Fiat-Shamir
+// challenger chain alone is thousands of sequential levels).
+//
+// Segment types: 0 ALU [s,e)   1 chained perm [s,e) (aux = perm slot)
+//                2 ext_decompose [s,e)   3 bit_decompose [s,e)
+//                4 recompose [s,e)       5 horner [s,e) (aux = K)
+// Returns -1 on success, else (type<<48)|index of the failing unit.
+
+static inline bool write_cell(const P3Field* f, uint32_t* wit,
+                              uint8_t* defined, int32_t wid, int d,
+                              const uint32_t* vals) {
+  uint32_t* tgt = wit + (int64_t)wid * d;
+  if (defined[wid]) {
+    for (int j = 0; j < d; j++)
+      if (tgt[j] != vals[j]) return false;
+    return true;
+  }
+  for (int j = 0; j < d; j++) tgt[j] = vals[j];
+  defined[wid] = 1;
+  return true;
+}
+
+int64_t p3n_run_schedule(
+    uint32_t p, uint32_t np_, uint32_t r2, uint32_t w_binom, int d,
+    uint32_t* wit, uint8_t* defined,
+    // ALU flat rows (level-sorted)
+    const uint8_t* kinds, const uint8_t* solves, const int32_t* ra,
+    const int32_t* rb, const int32_t* rc, const int32_t* rout,
+    // schedule
+    const int64_t* segs, int64_t n_seg,
+    // chained perm calls (global arrays; widths per slot)
+    void* const* perm_handles, const int32_t* perm_widths, int n_perms,
+    const uint8_t* cflags, const int32_t* chain_ids, const int32_t* in_wids,
+    const int32_t* out_wids, const int32_t* sum_outs, const int32_t* cslots,
+    int max_limbs,
+    const uint8_t* priv_bits, const uint8_t* priv_bits2,
+    const uint32_t* priv_sibs, const uint8_t* sib_lens,
+    uint32_t* chain_states, int64_t* chain_sums, uint8_t* chain_valid,
+    int max_width,
+    uint32_t* rec_states, uint8_t* rec_bits, int64_t* rec_sums,
+    uint8_t* rec_bits2,
+    // hints
+    const int32_t* eh_in, const int32_t* eh_out,
+    const int32_t* bh_in, const int32_t* bh_meta, const int32_t* bh_out,
+    const int64_t* bh_off,
+    // recompose
+    const int32_t* rc_in, const int32_t* rc_out, const int32_t* rc_slots,
+    uint32_t* rc_rec,
+    // horner
+    const int32_t* h_in, const int32_t* h_out, const int32_t* h_slots,
+    uint32_t* h_rec) {
+  P3ExtField e{{p, np_, r2}, d, w_binom};
+  const P3Field* f = &e.f;
+  std::vector<uint32_t> buf;
+  for (int64_t si = 0; si < n_seg; si++) {
+    int64_t type = segs[si * 4 + 0];
+    int64_t s = segs[si * 4 + 1];
+    int64_t en = segs[si * 4 + 2];
+    int64_t aux = segs[si * 4 + 3];
+    if (type == 0) {
+      int64_t r = p3n_execute_alu(p, np_, r2, w_binom, d, wit, defined,
+                                  kinds + s, solves + s, ra + s, rb + s,
+                                  rc + s, rout + s, en - s);
+      if (r >= 0) return (0LL << 48) | (s + r);
+    } else if (type == 1) {
+      void* perm = perm_handles[aux];
+      int width = perm_widths[aux];
+      int rate = width / 2;
+      int n_limbs = width / d;
+      int64_t k = en - s;
+      buf.assign((size_t)k * width, 0);
+      for (int64_t i = 0; i < k; i++) {
+        int64_t ci = s + i;
+        uint32_t* st = buf.data() + (size_t)i * width;
+        uint8_t fl = cflags[ci];
+        bool new_start = fl & 1, merkle = fl & 2, arity4 = fl & 4;
+        const uint32_t* prev =
+            chain_states + (int64_t)chain_ids[ci] * max_width;
+        bool valid = chain_valid[chain_ids[ci]];
+        if (!new_start) {
+          if (!valid) return (1LL << 48) | ci;
+          if (arity4) {
+          } else if (merkle) {
+            for (int j = 0; j < rate; j++) st[j] = prev[j];
+          } else {
+            for (int j = 0; j < width; j++) st[j] = prev[j];
+          }
+        }
+        int bit = 0, bit2 = 0;
+        if (merkle) {
+          bit = priv_bits[ci];
+          bit2 = priv_bits2[ci];
+          const uint32_t* sib = priv_sibs + (int64_t)ci * 24;
+          if (arity4) {
+            int pos = bit + 2 * bit2;
+            int sidx = 0;
+            for (int q = 0; q < 4; q++) {
+              if (q == pos) {
+                for (int j = 0; j < 8; j++) st[8 * q + j] = prev[j];
+              } else {
+                for (int j = 0; j < 8; j++)
+                  st[8 * q + j] = sib[8 * sidx + j];
+                sidx++;
+              }
+            }
+          } else {
+            int sl = sib_lens[ci];
+            for (int j = 0; j < sl; j++) st[rate + j] = sib[j];
+          }
+        }
+        const int32_t* iw = in_wids + (int64_t)ci * max_limbs;
+        for (int l = 0; l < n_limbs; l++) {
+          if (iw[l] >= 0) {
+            const uint32_t* v = wit + (int64_t)iw[l] * d;
+            for (int j = 0; j < d; j++) st[l * d + j] = v[j];
+          }
+        }
+        if (merkle && bit && !arity4) {
+          uint32_t tmp[32];
+          for (int j = 0; j < rate; j++) tmp[j] = st[j];
+          for (int j = 0; j < rate; j++) st[j] = st[rate + j];
+          for (int j = 0; j < rate; j++) st[rate + j] = tmp[j];
+        }
+        int64_t sum = 0;
+        if (merkle) {
+          int64_t ps = valid ? chain_sums[chain_ids[ci]] : 0;
+          sum = arity4 ? 4 * ps + bit + 2 * bit2 : 2 * ps + bit;
+        }
+        // record the input state + flags
+        int64_t slot = cslots[ci];
+        uint32_t* rs = rec_states + slot * max_width;
+        for (int j = 0; j < width; j++) rs[j] = st[j];
+        rec_bits[slot] = (uint8_t)bit;
+        rec_bits2[slot] = (uint8_t)bit2;
+        rec_sums[slot] = sum;
+      }
+      p3n_poseidon2_permute(perm, buf.data(), k);
+      for (int64_t i = 0; i < k; i++) {
+        int64_t ci = s + i;
+        const uint32_t* out = buf.data() + (size_t)i * width;
+        const int32_t* ow = out_wids + (int64_t)ci * max_limbs;
+        int n_limbs2 = width / d;
+        for (int l = 0; l < n_limbs2; l++)
+          if (ow[l] >= 0 &&
+              !write_cell(f, wit, defined, ow[l], d, out + l * d))
+            return (1LL << 48) | ci;
+        int64_t slot = cslots[ci];
+        if (sum_outs[ci] >= 0) {
+          uint32_t sv[16] = {0};
+          sv[0] = (uint32_t)(rec_sums[slot] % p);
+          if (!write_cell(f, wit, defined, sum_outs[ci], d, sv))
+            return (1LL << 48) | ci;
+        }
+        uint32_t* cst = chain_states + (int64_t)chain_ids[ci] * max_width;
+        for (int j = 0; j < width; j++) cst[j] = out[j];
+        chain_sums[chain_ids[ci]] = rec_sums[slot];
+        chain_valid[chain_ids[ci]] = 1;
+      }
+    } else if (type == 2) {  // ext_decompose
+      for (int64_t i = s; i < en; i++) {
+        const uint32_t* v = wit + (int64_t)eh_in[i] * d;
+        for (int j = 0; j < d; j++) {
+          uint32_t cell[16] = {0};
+          cell[0] = v[j];
+          if (!write_cell(f, wit, defined, eh_out[i * d + j], d, cell))
+            return (2LL << 48) | i;
+        }
+      }
+    } else if (type == 3) {  // bit_decompose
+      for (int64_t i = s; i < en; i++) {
+        uint32_t v = wit[(int64_t)bh_in[i] * d];
+        const int32_t* outs = bh_out + bh_off[i];
+        for (int j = 0; j < bh_meta[i]; j++) {
+          uint32_t cell[16] = {0};
+          cell[0] = (v >> j) & 1u;
+          if (!write_cell(f, wit, defined, outs[j], d, cell))
+            return (3LL << 48) | i;
+        }
+      }
+    } else if (type == 4) {  // recompose: out coeff j = input j's coeff 0
+      for (int64_t i = s; i < en; i++) {
+        uint32_t cell[16];
+        for (int j = 0; j < d; j++)
+          cell[j] = wit[(int64_t)rc_in[i * d + j] * d];
+        if (!write_cell(f, wit, defined, rc_out[i], d, cell))
+          return (4LL << 48) | i;
+        uint32_t* rr = rc_rec + (int64_t)rc_slots[i] * d;
+        for (int j = 0; j < d; j++) rr[j] = cell[j];
+      }
+    } else if (type == 5) {  // packed horner: out = ((acc·b+c0)·b+c1)...
+      int K = (int)aux;
+      for (int64_t i = s; i < en; i++) {
+        const int32_t* iw = h_in + i * (2 + K);
+        uint32_t* rr = h_rec + (int64_t)h_slots[i] * (2 + K) * d;
+        for (int l = 0; l < 2 + K; l++) {
+          const uint32_t* v = wit + (int64_t)iw[l] * d;
+          for (int j = 0; j < d; j++) rr[l * d + j] = v[j];
+        }
+        uint32_t cur[16], t[16];
+        const uint32_t* acc = wit + (int64_t)iw[0] * d;
+        const uint32_t* b = wit + (int64_t)iw[1] * d;
+        for (int j = 0; j < d; j++) cur[j] = acc[j];
+        for (int l = 0; l < K; l++) {
+          ext_mul(&e, cur, b, t);
+          const uint32_t* c = wit + (int64_t)iw[2 + l] * d;
+          for (int j = 0; j < d; j++) cur[j] = addmod(f, t[j], c[j]);
+        }
+        if (!write_cell(f, wit, defined, h_out[i], d, cur))
+          return (5LL << 48) | i;
+      }
+    }
+  }
+  return -1;
+}
+
 }  // extern "C"

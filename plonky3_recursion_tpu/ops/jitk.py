@@ -43,18 +43,24 @@ from .poseidon2 import poseidon2_params
 _DEV_CONSTS: dict = {}
 
 
-def mesh_row_sharder(mesh, axis: str = "rows"):
+def mesh_row_sharder(mesh, axis: str = "rows", min_rows_per_dev: int = 32):
     """Row-sharding annotator for jit bodies: identity when mesh is None;
-    otherwise constrains axis 0 over the mesh (when divisible — tiny
-    replicated arrays pass through)."""
+    otherwise constrains axis 0 over the mesh.  Only tensors with at least
+    `min_rows_per_dev` rows per device are sharded — small intermediates
+    stay replicated, so GSPMD doesn't pepper the program with tiny
+    collectives (measured: sharding everything divisible made the fused
+    layer program emit >10k sub-group collectives, pathological compile
+    times, and CPU-mesh rendezvous timeouts; the large NTT/Merkle/
+    quotient tensors carry all the actual scaling work)."""
     if mesh is None:
         return lambda arr: arr
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     n_dev = mesh.devices.size
+    min_rows = n_dev * min_rows_per_dev
 
     def shard(arr):
-        if arr.shape[0] % n_dev:
+        if arr.shape[0] < min_rows or arr.shape[0] % n_dev:
             return arr
         return jax.lax.with_sharding_constraint(
             arr,

@@ -182,6 +182,80 @@ def _packed_upload(pieces: list):
     return fn(jnp.asarray(flat))
 
 
+def device_lane_pack(jnp, mat, lanes: int, min_height: int):
+    """`_lane_pack` as device ops (static reshapes/pads)."""
+    n, c = mat.shape
+    rows = (n + lanes - 1) // lanes
+    mat = jnp.pad(mat, [(0, rows * lanes - n), (0, 0)])
+    mat = mat.reshape(rows, lanes * c)
+    target = max(
+        min_height, 1 << max(rows - 1, 0).bit_length() if rows > 1 else 1
+    )
+    return jnp.pad(mat, [(0, target - rows), (0, 0)])
+
+
+def _prim_tables_fn(
+    circuit: Circuit, min_height: int, packing: TablePacking
+):
+    """Jitted device builder of the three primitive mains from the
+    witness table: pm = wit[public_rows], am = [wit[a]|wit[b]|wit[c]|
+    wit[out]] with lane packing / pow-2 padding as static reshapes.
+    Uploading the witness once (plus static device-resident index
+    arrays) replaces uploading the 4x-duplicated ALU main."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..circuit.runner import _exec_plan
+    from ..ops.jitk import _dev
+
+    plan = _exec_plan(circuit)
+    key = (min_height, packing.public_lanes, packing.alu_lanes)
+    cached = getattr(plan, "prim_tables", {}).get(key)
+    if cached is not None:
+        return cached
+    d = circuit.ext.D
+    pub_idx = np.asarray(circuit.public_rows, dtype=np.int32)
+    abco = np.asarray(
+        [[r.a, r.b, r.c, r.out] for r in circuit.alu_rows], dtype=np.int32
+    ).reshape(-1, 4)
+    consts = (_dev(pub_idx), _dev(abco))
+    n_const = len(circuit.const_rows)
+    n_pub = len(circuit.public_rows)
+    n_alu = len(abco)
+
+    def lane_pack_dev(mat, lanes):
+        return device_lane_pack(jnp, mat, lanes, min_height)
+
+    def fn(wit, consts_t):
+        pub_i, abco_i = consts_t
+        pm = (
+            wit[pub_i]
+            if n_pub
+            else jnp.zeros((0, d), dtype=jnp.uint32)
+        )
+        if n_alu:
+            g = wit[abco_i.reshape(-1)].reshape(n_alu, 4 * d)
+        else:
+            g = jnp.zeros((0, 4 * d), dtype=jnp.uint32)
+        cm_t = max(
+            min_height,
+            1 << max(n_const - 1, 0).bit_length() if n_const > 1 else 1,
+        )
+        cm = jnp.zeros((cm_t, 1), dtype=jnp.uint32)
+        return (
+            cm,
+            lane_pack_dev(pm, packing.public_lanes),
+            lane_pack_dev(g, packing.alu_lanes),
+        )
+
+    jfn = jax.jit(fn)
+    out = lambda wit: jfn(wit, consts)  # noqa: E731
+    if not hasattr(plan, "prim_tables"):
+        plan.prim_tables = {}
+    plan.prim_tables[key] = out
+    return out
+
+
 def build_main_tables(
     circuit: Circuit,
     traces,
@@ -192,35 +266,51 @@ def build_main_tables(
     packing = packing or TablePacking()
     d = circuit.ext.D
     wit = traces.witness
-    # const values are preprocessed; the main matrix is one zero column
-    cm = np.zeros((len(circuit.const_rows), 1), dtype=U32)
-    pm = wit[np.asarray(circuit.public_rows, dtype=np.int64)]
-    if len(circuit.alu_rows):
-        a = wit[np.asarray([r.a for r in circuit.alu_rows], dtype=np.int64)]
-        b = wit[np.asarray([r.b for r in circuit.alu_rows], dtype=np.int64)]
-        c = wit[np.asarray([r.c for r in circuit.alu_rows], dtype=np.int64)]
-        o = wit[np.asarray([r.out for r in circuit.alu_rows], dtype=np.int64)]
-        am = np.concatenate([a, b, c, o], axis=1)
-    else:
-        am = np.zeros((0, 4 * d), dtype=U32)
-    mains = [
-        _pad_pow2(cm, min_height),
-        _lane_pack(pm, packing.public_lanes, min_height),
-        _lane_pack(am, packing.alu_lanes, min_height),
-    ]
+    if wit.ndim != 2:
+        device = False  # limbed (Goldilocks) cells keep the host path
     if not device:
+        # const values are preprocessed; the main matrix is one zero col
+        cm = np.zeros((len(circuit.const_rows), 1), dtype=U32)
+        pm = wit[np.asarray(circuit.public_rows, dtype=np.int64)]
+        if len(circuit.alu_rows):
+            a = wit[
+                np.asarray([r.a for r in circuit.alu_rows], dtype=np.int64)
+            ]
+            b = wit[
+                np.asarray([r.b for r in circuit.alu_rows], dtype=np.int64)
+            ]
+            c = wit[
+                np.asarray([r.c for r in circuit.alu_rows], dtype=np.int64)
+            ]
+            o = wit[
+                np.asarray(
+                    [r.out for r in circuit.alu_rows], dtype=np.int64
+                )
+            ]
+            am = np.concatenate([a, b, c, o], axis=1)
+        else:
+            am = np.zeros((0, 4 * d), dtype=U32)
+        mains = [
+            _pad_pow2(cm, min_height),
+            _lane_pack(pm, packing.public_lanes, min_height),
+            _lane_pack(am, packing.alu_lanes, min_height),
+        ]
         for plugin, calls in _npo_groups(circuit):
             recs = traces.npo_records.get(plugin.type_id, {})
             records = [recs[call.op_id] for call in calls]
             mains.append(plugin.build_main(calls, records, min_height))
         return tuple(mains)
-    # device path: every host-built array (primitive mains, NPO host
-    # mains, and the device-table builders' input payloads) rides ONE
-    # packed upload; the big NPO tables are then built on device from the
-    # tiny per-call payloads
-    pieces = list(mains)  # [const, public, alu]
+    # device path: the witness table + every NPO payload rides ONE packed
+    # upload; the primitive mains are gathered from the witness ON DEVICE
+    # (static index arrays) and the big NPO tables are built on device
+    # from the tiny per-call payloads
+    pieces = [np.ascontiguousarray(wit, dtype=U32)]
     jobs = []  # (kind, plugin, calls, records, n_pieces)
     for plugin, calls in _npo_groups(circuit):
+        if hasattr(plugin, "build_main_from_wit"):
+            # table derivable from the witness alone: zero extra upload
+            jobs.append(("wit", plugin, calls, None, 0))
+            continue
         arrays = traces.npo_arrays.get(plugin.type_id)
         if arrays is not None and hasattr(plugin, "payload_from_arrays"):
             # array-form records: vectorized payload, no per-op python
@@ -240,10 +330,14 @@ def build_main_tables(
             pieces.append(plugin.build_main(calls, records, min_height))
             jobs.append(("host", plugin, calls, records, 1))
     dev = list(_packed_upload(pieces))
-    out = dev[:3]
-    pos = 3
+    out = list(_prim_tables_fn(circuit, min_height, packing)(dev[0]))
+    pos = 1
     for kind, plugin, calls, records, n in jobs:
-        if kind == "dev":
+        if kind == "wit":
+            out.append(
+                plugin.build_main_from_wit(circuit, calls, dev[0], min_height)
+            )
+        elif kind == "dev":
             out.append(
                 plugin.build_main_device(
                     calls, records, min_height, payload=tuple(dev[pos : pos + n])

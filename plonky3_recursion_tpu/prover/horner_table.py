@@ -181,6 +181,52 @@ class HornerNpo:
         main = np.concatenate([ins, rs.reshape(len(records), k * d)], axis=1)
         return _pad_pow2(main, min_height)
 
+    def build_main_from_wit(self, circuit, calls, wit_dev, min_height: int):
+        """Device build: gather the (2+K)·D input coefficients from the
+        uploaded witness, run the K mul-add chain on device."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..circuit.runner import _exec_plan
+        from ..ops.jitk import _dev
+
+        plan = _exec_plan(circuit)
+        if not hasattr(plan, "npo_main_fns"):
+            plan.npo_main_fns = {}
+        key = (self.type_id, min_height)
+        fn = plan.npo_main_fns.get(key)
+        if fn is None:
+            E, d, k = self.E, self.d, self.k
+            idx = np.asarray(
+                [[w for w in c.inputs] for c in calls], dtype=np.int32
+            ).reshape(len(calls), 2 + k)
+            idx_d = _dev(idx)
+            n = len(calls)
+            target = max(
+                min_height, 1 << max(n - 1, 0).bit_length() if n > 1 else 1
+            )
+
+            def body(wit, idx_t):
+                cols = wit[idx_t.reshape(-1)].reshape(n, 2 + k, d)
+                acc, b = cols[:, 0], cols[:, 1]
+                rs = []
+                cur = acc
+                for j in range(k):
+                    cur = E.add(
+                        E.mul(cur, b, jnp), cols[:, 2 + j], jnp
+                    )
+                    rs.append(cur)
+                main = jnp.concatenate(
+                    [cols.reshape(n, (2 + k) * d)]
+                    + [r.reshape(n, d) for r in rs],
+                    axis=1,
+                )
+                return jnp.pad(main, [(0, target - n), (0, 0)])
+
+            jfn = jax.jit(body)
+            fn = plan.npo_main_fns[key] = lambda w: jfn(w, idx_d)
+        return fn(wit_dev)
+
 
 @functools.lru_cache(maxsize=None)
 def horner_npo_for(field_name: str, k: int = 8, d: int = 4) -> HornerNpo:

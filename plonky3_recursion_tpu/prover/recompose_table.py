@@ -128,6 +128,37 @@ class RecomposeNpo:
         main = np.stack(records).astype(U32)  # (k, D)
         return _lane_pack(main, self.lanes, min_height)
 
+    def build_main_from_wit(self, circuit, calls, wit_dev, min_height: int):
+        """Device build: the table rows are coeff-0 gathers of the input
+        witness cells — derived from the uploaded witness alone."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..circuit.runner import _exec_plan
+        from ..ops.jitk import _dev
+        from .batch_prover import device_lane_pack
+
+        plan = _exec_plan(circuit)
+        if not hasattr(plan, "npo_main_fns"):
+            plan.npo_main_fns = {}
+        key = (self.type_id, min_height)
+        fn = plan.npo_main_fns.get(key)
+        if fn is None:
+            d = self.d
+            idx = np.asarray(
+                [[w for w in c.inputs] for c in calls], dtype=np.int32
+            ).reshape(len(calls), d)
+            idx_d = _dev(idx)
+            n = len(calls)
+
+            def body(wit, idx_t):
+                vals = wit[idx_t.reshape(-1)].reshape(n, d, d)[:, :, 0]
+                return device_lane_pack(jnp, vals, self.lanes, min_height)
+
+            jfn = jax.jit(body)
+            fn = plan.npo_main_fns[key] = lambda w: jfn(w, idx_d)
+        return fn(wit_dev)
+
 
 @functools.lru_cache(maxsize=None)
 def recompose_npo_for(

@@ -288,3 +288,38 @@ def test_midrange_params_recursion_layer():
     prep = build_next_layer_prep(config, inner)
     layer = prove_next_layer(config, prep, inner.proof, debug_lookups=True)
     assert prover.verify_all_tables(prep.circuit, layer, prep.pdata)
+
+
+def test_layer_witness_native_matches_python(rng):
+    """The C++ whole-schedule executor produces a bit-identical witness
+    table to the pure-python level walk on a REAL recursion-layer circuit
+    (chained perms + hints + recompose + packed Horner interleaved)."""
+    config, inner = make_inner(16)
+    proof = inner.proof
+    prep = build_next_layer_prep(config, inner)
+
+    def fill(r):
+        r.set_public_inputs(prep.vcr.pack_public_inputs(proof.batch))
+        r.set_private_inputs(prep.vcr.pack_private_inputs(proof.batch))
+        prep.backend.set_private_data(r, prep.vcr, proof.batch)
+        return r.run()
+
+    r_native = prep.circuit.runner()
+    assert r_native._native is not None, "native executor unavailable"
+    t_native = fill(r_native)
+    r_py = prep.circuit.runner()
+    r_py._native = None
+    t_py = fill(r_py)
+    assert np.array_equal(t_native.witness, t_py.witness)
+    # chained record arrays agree with the python dict records
+    for tid, arrs in t_native.npo_arrays.items():
+        if "states" not in arrs:
+            continue
+        recs_py = t_py.npo_records[tid]
+        plan = prep.circuit._exec_plan_cache
+        sbase = plan.chained_slots[tid]
+        for op_id, sl in list(sbase.items())[:50]:
+            st, bit, sm, bit2 = recs_py[op_id]
+            assert np.array_equal(arrs["states"][sl], st)
+            assert int(arrs["bits"][sl]) == int(bit)
+            assert int(arrs["sums"][sl]) == int(sm)
