@@ -19,7 +19,9 @@ number always lands in the tail).
 Robustness contract: the driver runs this under an unknown external
 timeout (observed killing at ~1430 s in rounds 2–3).  Exactly one JSON
 line is emitted no matter how the process ends: on clean completion, on
-the wall-clock watchdog (BENCH_DEADLINE_S, default 900 s), on SIGTERM/
+the wall-clock watchdog (BENCH_DEADLINE_S, default 1250 s — below the
+observed external kill, above the ~1100 s a warm layer measurement
+needs including per-process jax tracing), on SIGTERM/
 SIGINT from an external `timeout`, or on an exception after the first
 milestone.  Best-so-far semantics: every completed milestone updates
 _BEST; whichever exit path fires first prints it exactly once.
@@ -69,9 +71,9 @@ def _emit(tag: str) -> bool:
 
 def _start_watchdog():
     try:
-        deadline = float(os.environ.get("BENCH_DEADLINE_S", "900"))
+        deadline = float(os.environ.get("BENCH_DEADLINE_S", "1250"))
     except (TypeError, ValueError):
-        deadline = 900.0
+        deadline = 1250.0
 
     def run():
         if _FINISHED.wait(deadline):
@@ -263,9 +265,9 @@ def main():
     # stderr-only milestone; never displaces the layer metric.  Runs only
     # with comfortable headroom before the watchdog.
     try:
-        deadline = float(os.environ.get("BENCH_DEADLINE_S", "900"))
+        deadline = float(os.environ.get("BENCH_DEADLINE_S", "1250"))
     except (TypeError, ValueError):
-        deadline = 900.0
+        deadline = 1250.0
     if time.time() - _T0 < deadline - 240:
         try:
             _aggregation_probe(config, E4)
