@@ -61,6 +61,7 @@ def _fib_proof(cfg, n=8):
     return circuit, pdata, prover, proof
 
 
+@pytest.mark.slow  # compile-heavy parity (fast-lane budget)
 def test_poseidon1_challenger_base_proof():
     cfg = poseidon1_challenger_config()
     circuit, pdata, prover, proof = _fib_proof(cfg)

@@ -247,6 +247,7 @@ def test_matrix_below_final_fold_height_rejected(rng):
         pcs.verify(rv, proof, DuplexChallenger(F))
 
 
+@pytest.mark.slow  # compile-heavy parity (fast-lane budget)
 def test_jit_open_bit_identical_to_host():
     """The fused device open path (one call per stage) produces the SAME
     proof bytes as the host path."""

@@ -96,6 +96,7 @@ def test_fused_matches_staged_base_proof():
     BatchStarkProver(cfg_s).verify_all_tables(circuit, proof_f, pdata)
 
 
+@pytest.mark.slow  # compile-heavy parity (fast-lane budget)
 def test_fused_matches_staged_with_pow():
     """Standard-style params with query PoW exercises the in-program grind."""
     circuit, pubs = _fib_circuit(32)
